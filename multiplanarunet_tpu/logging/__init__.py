@@ -1,0 +1,1 @@
+from multiplanarunet_tpu.logging.loggers import Logger, ScreenLogger
