@@ -141,27 +141,50 @@ class VolumeSampler:
         bg = np.asarray(self.bg_value, np.float32).reshape(1, 1, 1, -1)
         return self.scaler.transform(bg).reshape(-1).astype(np.float32)
 
-    def device_volume(self, dtype=None):
-        """The scaled volume staged to the default device (cached)."""
+    @staticmethod
+    def _bucket_pad(arr, bucket):
+        """Zero-pad spatial dims up to multiples of `bucket` (at the high
+        end). Padding is never sampled — gathers receive the true extent via
+        `valid_shape` — but makes every volume of a similar size share one
+        compiled kernel instead of one per subject shape."""
+        if not bucket:
+            return arr
+        pads = []
+        for n in arr.shape[:3]:
+            target = max(bucket, -(-n // bucket) * bucket)
+            pads.append((0, target - n))
+        pads.append((0, 0))
+        if all(p == (0, 0) for p in pads):
+            return arr
+        return np.pad(arr, pads, mode="constant")
+
+    @property
+    def valid_shape(self):
+        """True spatial extent (3,) int32 — pass to gathers as valid_shape."""
+        return np.asarray(self.image.shape[:3], np.int32)
+
+    def device_volume(self, dtype=None, bucket=32):
+        """The scaled volume staged to the default device (cached, padded)."""
         import jax.numpy as jnp
 
         if self._device_volume is None:
-            vol = self.scaled_volume
+            vol = self._bucket_pad(self.scaled_volume, bucket)
             self._device_volume = jnp.asarray(
                 vol if dtype is None else vol.astype(dtype)
             )
         return self._device_volume
 
-    def device_labels(self):
+    def device_labels(self, bucket=32):
         """Labels as (X, Y, Z, 1) float32 on device (nearest-gather source)."""
         import jax.numpy as jnp
 
         if self.labels is None:
             return None
         if self._device_labels is None:
-            self._device_labels = jnp.asarray(
-                self.labels[..., None].astype(np.float32)
+            lab = self._bucket_pad(
+                self.labels[..., None].astype(np.float32), bucket
             )
+            self._device_labels = jnp.asarray(lab)
         return self._device_labels
 
     def device_rot(self):

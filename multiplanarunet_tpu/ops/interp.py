@@ -44,6 +44,10 @@ def _flat_gather(vol_flat, ix, iy, iz, D1, D2):
 def _index_parts(points, origin, spacing, shape3):
     """Fractional index computation shared by linear/nearest gathers.
 
+    `shape3` may be a static tuple OR a traced (3,) array — the latter lets
+    one compiled kernel serve volumes padded to a common bucket shape, with
+    the true per-image extents supplied at run time.
+
     Returns (i0 [int32 (...,3)], frac [f32 (...,3)], oob [bool (...,)]).
     """
     t = (points - origin) / spacing  # (..., 3)
@@ -54,7 +58,8 @@ def _index_parts(points, origin, spacing, shape3):
     return i0, frac, oob
 
 
-def grid_gather(values, origin, spacing, points, method="linear", fill=None):
+def grid_gather(values, origin, spacing, points, method="linear", fill=None,
+                valid_shape=None):
     """Interpolate `values` defined on a uniform 3D grid at real-space `points`.
 
     Args:
@@ -64,6 +69,9 @@ def grid_gather(values, origin, spacing, points, method="linear", fill=None):
       points:  (..., 3) real-space query positions.
       method:  'linear' | 'nearest'.
       fill:    scalar or (C,) out-of-bounds fill; 0 if None.
+      valid_shape: optional (3,) int array giving the TRUE spatial extent when
+        `values` is padded to a larger bucket shape; bounds checks and index
+        clamping then use the true extent (padding is never read).
 
     Returns: (..., C) interpolated values, dtype follows `values` promotion.
     """
@@ -79,7 +87,8 @@ def grid_gather(values, origin, spacing, points, method="linear", fill=None):
     else:
         fill = jnp.broadcast_to(jnp.asarray(fill, dtype=values.dtype), (C,))
 
-    i0, frac, oob = _index_parts(points, origin, spacing, (D0, D1, D2))
+    bounds = (D0, D1, D2) if valid_shape is None else valid_shape
+    i0, frac, oob = _index_parts(points, origin, spacing, bounds)
     vol_flat = values.reshape(-1, C)
 
     if method == "nearest":
@@ -124,19 +133,20 @@ def plane_points(basis, offset, span, dim, dtype=jnp.float32):
 
 @partial(jax.jit, static_argnames=("span", "dim", "method"))
 def sample_plane(volume, origin, spacing, rot, basis, offset, span, dim,
-                 fill, method="linear"):
+                 fill, method="linear", valid_shape=None):
     """Sample one oblique plane from a volume. Returns (d, d, C).
 
     `rot` is the 3x3 scanner->grid alignment rotation (identity when the
     affine is axis-aligned)."""
     pts = plane_points(basis, offset, span, dim, dtype=jnp.asarray(origin).dtype)
     pts = pts @ rot.T
-    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill)
+    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill,
+                       valid_shape=valid_shape)
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "method"))
 def sample_plane_stack(volume, origin, spacing, rot, basis, offsets, span, dim,
-                       fill, method="linear"):
+                       fill, method="linear", valid_shape=None):
     """Sample a stack of parallel planes along one view.
 
     Args:
@@ -149,12 +159,13 @@ def sample_plane_stack(volume, origin, spacing, rot, basis, offsets, span, dim,
     n = basis[:, 2]
     pts = base[:, :, None, :] + offsets.astype(dtype)[None, None, :, None] * n
     pts = pts @ rot.T
-    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill)
+    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill,
+                       valid_shape=valid_shape)
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "method"))
 def sample_plane_batch(volume, origin, spacing, rot, bases, offsets, span, dim,
-                       fill, method="linear"):
+                       fill, method="linear", valid_shape=None):
     """Sample a batch of independently-oriented planes (training batches).
 
     Args:
@@ -169,13 +180,14 @@ def sample_plane_batch(volume, origin, spacing, rot, bases, offsets, span, dim,
         return pts
 
     pts = jax.vmap(one)(bases, offsets)  # (B, d, d, 3)
-    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill)
+    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill,
+                       valid_shape=valid_shape)
 
 
 # ----------------------------------------------------------------------- boxes
 @partial(jax.jit, static_argnames=("box_dim", "method"))
 def sample_box(volume, origin, spacing, rot, corner, real_box_dim, box_rot,
-               box_dim, fill, method="linear"):
+               box_dim, fill, method="linear", valid_shape=None):
     """Sample an isotropic scanner-space box. Returns (d, d, d, C).
 
     corner: (3,) real-space box corner; box_rot: 3x3 rotation applied about
@@ -189,7 +201,8 @@ def sample_box(volume, origin, spacing, rot, corner, real_box_dim, box_rot,
     center = jnp.mean(pts.reshape(-1, 3), axis=0)
     pts = (pts - center) @ box_rot.T + center
     pts = pts @ rot.T
-    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill)
+    return grid_gather(volume, origin, spacing, pts, method=method, fill=fill,
+                       valid_shape=valid_shape)
 
 
 # ------------------------------------------------------- prediction remapping

@@ -1,0 +1,284 @@
+"""Multi-planar batch samplers (iso_live): training slices + inference stacks.
+
+Behavioral parity target: `mpunet/sequences/isotrophic_live_view_sequence.py`
+and `..._2d.py`. The reference's hot loop samples one slice at a time on the
+host (scipy interpolation under threads) with up to 10 resampling tries to
+satisfy the foreground quota. Here the same statistics come from an
+**oversample-and-select** design that keeps the heavy work on device:
+
+  for each batch element:
+    1. draw K=10 candidate (view, offset, noise) tuples on host (tiny math),
+    2. ONE fused gather kernel nearest-samples all K candidate label slices
+       and reduces them to per-candidate class-presence bitmasks on device,
+    3. the reference's accept/retry rules run on the K presence rows
+       (equivalent to its sequential max-10-tries loop),
+    4. ONE gather kernel linear-samples the chosen image slice from the
+       scaled volume already resident in HBM.
+
+Per-slice normalization costs nothing (volumes are staged pre-scaled — affine
+scaling commutes with linear interpolation), and augmentation happens later
+on the whole batch on device."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.ops import geometry
+from multiplanarunet_tpu.ops.interp import sample_plane, sample_plane_batch, sample_plane_stack
+from multiplanarunet_tpu.sequences.base_sequence import BaseSequence
+
+MAX_TRIES = 10  # candidate count; mirrors the reference's retry budget
+
+
+@partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
+def _candidate_label_slices(labels_vol, origin, spacing, rot, bases, offsets,
+                            span, dim, bg_class, n_classes, valid_shape):
+    """Nearest-gather K candidate label slices + per-candidate class presence.
+
+    Returns (labs (K, d, d) int32, presence (K, n_classes) bool)."""
+    labs = sample_plane_batch(
+        labels_vol, origin, spacing, rot, bases, offsets, span, dim,
+        fill=bg_class, method="nearest", valid_shape=valid_shape,
+    )[..., 0].astype(jnp.int32)
+    onehot = jax.nn.one_hot(labs, n_classes, dtype=jnp.bool_)
+    presence = jnp.any(onehot, axis=(1, 2))
+    return labs, presence
+
+
+class IsotrophicLiveViewSequence(BaseSequence):
+    """Shared batch logic: fg quotas, label crop, augment, reshape."""
+
+    def __init__(self, image_pair_queue, dim, batch_size, n_classes,
+                 real_space_span=None, noise_sd=0.0, force_all_fg="auto",
+                 fg_batch_fraction=0.50, label_crop=None, logger=None,
+                 is_validation=False, list_of_augmenters=None,
+                 flatten_y=False, **kwargs):
+        super().__init__()
+        self.logger = logger or ScreenLogger()
+        self.image_pair_queue = image_pair_queue
+        self.sample_dim = int(dim)
+        self.n_classes = int(n_classes)
+        self.real_space_span = real_space_span
+        self.is_validation = is_validation
+        self.noise_sd = 0.0 if is_validation else noise_sd
+        self.list_of_augmenters = None if is_validation else list_of_augmenters
+        self.batch_size = batch_size
+        self.flatten_y = flatten_y
+        self.force_all_fg_switch = force_all_fg
+        self.fg_batch_fraction = fg_batch_fraction
+        self.fg_classes = np.arange(1, self.n_classes)
+        if self.fg_classes.shape[0] == 0:
+            self.fg_classes = np.array([1])
+        self.label_crop = (np.array([[0, 0], [0, 0]])
+                           if label_crop is None else np.asarray(label_crop))
+
+    # ------------------------------------------------------------ fg quotas
+    @property
+    def n_fg_slices(self):
+        """Minimum number of batch elements that must contain foreground."""
+        return int(np.ceil(self.batch_size * self.fg_batch_fraction))
+
+    @property
+    def force_all_fg(self):
+        """Force >=1 voxel of every fg class somewhere in the batch when the
+        batch has enough slots ('auto' semantics of the reference)."""
+        if (isinstance(self.force_all_fg_switch, str)
+                and self.force_all_fg_switch.lower() == "auto"):
+            return self.batch_size > len(self.fg_classes)
+        return bool(self.force_all_fg_switch)
+
+    def _accepts_candidate(self, presence_row, tries, is_last, has_fg_vec,
+                           has_fg_count, cur_bs):
+        """The reference's accept/retry rules on one candidate's class
+        presence. Returns (accept, new_has_fg_vec, fg_change)."""
+        cand_classes = presence_row[self.fg_classes]
+        if self.force_all_fg and not is_last:
+            new_mask = has_fg_vec | cand_classes
+            slots_left = self.batch_size - cur_bs
+            if not new_mask.all() and (~new_mask).sum() >= slots_left:
+                # Candidate leaves some class unfillable -> reject
+                return False, has_fg_vec, 0
+            has_fg_vec = new_mask
+        has_fg = bool(cand_classes.any())
+        if has_fg:
+            return True, has_fg_vec, 1
+        slots_left = self.batch_size - cur_bs
+        if (self.n_fg_slices - has_fg_count) < slots_left:
+            return True, has_fg_vec, 0
+        return is_last, has_fg_vec, 0
+
+    def select_candidate(self, presence, has_fg_vec, has_fg_count, cur_bs):
+        """Walk the K candidates exactly like the reference's retry loop;
+        return (chosen_index, updated vec, updated count)."""
+        K = presence.shape[0]
+        for t in range(K):
+            accept, has_fg_vec, fg_change = self._accepts_candidate(
+                presence[t], t + 1, t + 1 == K, has_fg_vec, has_fg_count,
+                cur_bs,
+            )
+            if accept:
+                return t, has_fg_vec, has_fg_count + fg_change
+        return K - 1, has_fg_vec, has_fg_count  # pragma: no cover
+
+    # ------------------------------------------------------- batch assembly
+    def augment(self, batch_x, batch_y, batch_w, bg_values):
+        if self.list_of_augmenters:
+            for aug in self.list_of_augmenters:
+                batch_x, batch_y, batch_w = aug(
+                    batch_x, batch_y, batch_w=batch_w, bg_values=bg_values
+                )
+        return batch_x, batch_y, batch_w
+
+    def _crop_labels(self, batch_y):
+        (l0, h0), (l1, h1) = self.label_crop
+        return batch_y[:, l0:batch_y.shape[1] - h0, l1:batch_y.shape[2] - h1]
+
+    def prepare_batches(self, batch_x, batch_y, batch_w):
+        batch_x = jnp.asarray(batch_x)
+        batch_y = jnp.asarray(batch_y)
+        batch_w = np.asarray(batch_w, np.float32)
+        if self.label_crop.sum() != 0:
+            batch_y = self._crop_labels(batch_y)
+        if self.flatten_y:
+            batch_y = batch_y.reshape(batch_y.shape[0], -1, 1)
+        elif batch_y.shape[-1] != 1:
+            batch_y = batch_y[..., None]
+        return batch_x, batch_y, batch_w
+
+
+class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
+    """Training batches of oblique 2D slices + inference plane stacks."""
+
+    def __init__(self, image_pair_queue, views, no_log=False, **kwargs):
+        super().__init__(image_pair_queue, **kwargs)
+        self.views = np.asarray(views)
+        self.batch_shape = (self.batch_size, self.sample_dim,
+                            self.sample_dim, self.n_classes)
+        if not no_log:
+            self.log()
+
+    def log(self):
+        self.logger(f"\nIs validation:               {self.is_validation}")
+        self.logger(f"Using real space span:       {self.real_space_span}")
+        self.logger(f"Using sample dim:            {self.sample_dim}")
+        self.logger(f"Using real space sample res: "
+                    f"{self.real_space_span / self.sample_dim}")
+        self.logger(f"N fg slices:                 {self.n_fg_slices}")
+        self.logger(f"Batch size:                  {self.batch_size}")
+        self.logger(f"Force all FG:                {self.force_all_fg}")
+        self.logger(f"Noise SD:                    {self.noise_sd}")
+        self.logger(f"Augmenters:                  {self.list_of_augmenters}")
+
+    # ------------------------------------------------------------- training
+    def _sample_slice_from(self, image, has_fg_vec, has_fg_count, cur_bs):
+        """Candidate-parallel version of the reference's 10-try slice loop.
+
+        Returns (im (d,d,C) jnp, lab (d,d) jnp int32, has_fg_vec, count)."""
+        sampler = image.interpolator
+        span = float(self.real_space_span)
+        half = span // 2
+
+        view_idx = np.random.randint(0, len(self.views), MAX_TRIES)
+        bases = np.stack([
+            geometry.plane_basis(self.views[v], noise_sd=self.noise_sd)
+            for v in view_idx
+        ])
+        offsets = np.random.uniform(-half, half, MAX_TRIES).astype(np.float32)
+
+        labs, presence = _candidate_label_slices(
+            sampler.device_labels(),
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            sampler.device_rot(), jnp.asarray(bases), jnp.asarray(offsets),
+            span, self.sample_dim, float(image.bg_class), self.n_classes,
+            jnp.asarray(sampler.valid_shape),
+        )
+        presence_np = np.asarray(presence)
+        j, has_fg_vec, has_fg_count = self.select_candidate(
+            presence_np, has_fg_vec, has_fg_count, cur_bs
+        )
+        im = sample_plane(
+            sampler.device_volume(),
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            sampler.device_rot(), jnp.asarray(bases[j]), float(offsets[j]),
+            span, self.sample_dim, jnp.asarray(sampler.scaled_bg_value),
+            valid_shape=jnp.asarray(sampler.valid_shape),
+        )
+        return im, labs[j], has_fg_vec, has_fg_count
+
+    def __getitem__(self, idx):
+        self.seed()
+        has_fg_count = 0
+        has_fg_vec = np.zeros(len(self.fg_classes), bool)
+        xs, ys, ws, bgs = [], [], [], []
+        for _ in range(self.batch_size):
+            with self.image_pair_queue.get_random_image() as image:
+                im, lab, has_fg_vec, has_fg_count = self._sample_slice_from(
+                    image, has_fg_vec, has_fg_count, len(ys)
+                )
+                xs.append(im)
+                ys.append(lab)
+                ws.append(image.sample_weight)
+                bgs.append(np.asarray(image.interpolator.scaled_bg_value))
+        batch_x = jnp.stack(xs)
+        batch_y = jnp.stack(ys)
+        batch_w = np.asarray(ws, np.float32)
+        batch_x, batch_y, batch_w = self.augment(
+            batch_x, batch_y, batch_w, np.stack(bgs)
+        )
+        return self.prepare_batches(batch_x, batch_y, batch_w)
+
+    # ------------------------------------------------------------ inference
+    def plane_offsets(self, image, n_planes):
+        """Resolve an n_planes spec ('same', 'same+N', 'by_radius', int) to
+        the evenly spaced plane offsets of the reference
+        (`isotrophic_live_view_sequence_2d.py:46-62`)."""
+        span = float(self.real_space_span)
+        sample_res = span / (self.sample_dim - 1)
+        if n_planes == "by_radius":
+            bounds = geometry.get_bounding_sphere_real_radius(image)
+            n_planes = int(2 * bounds / sample_res)
+        else:
+            extra = 0
+            if n_planes == "same":
+                n_planes = self.sample_dim
+            elif isinstance(n_planes, str) and n_planes.startswith("same+"):
+                extra = int(n_planes.split("+")[-1])
+                n_planes = self.sample_dim + extra
+            bounds = (span + extra * sample_res) / 2
+        return np.linspace(-bounds, bounds, int(n_planes)).astype(np.float32)
+
+    def get_view_from(self, image, view, n_planes):
+        """Sample the full plane stack of one view over an image.
+
+        Returns (X (d, d, P, C) jnp [scaled], y (d, d, P) or None,
+        (real_axis, real_axis, offsets), inv_basis) — same tuple contract as
+        the reference."""
+        offsets = self.plane_offsets(image, n_planes)
+        basis = geometry.plane_basis(view, noise_sd=0.0)
+        sampler = image.interpolator
+        X = sample_plane_stack(
+            sampler.device_volume(),
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            sampler.device_rot(), jnp.asarray(basis), jnp.asarray(offsets),
+            float(self.real_space_span), self.sample_dim,
+            jnp.asarray(sampler.scaled_bg_value),
+            valid_shape=jnp.asarray(sampler.valid_shape),
+        )
+        y = None
+        if not image.predict_mode:
+            y = sample_plane_stack(
+                sampler.device_labels(),
+                jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+                sampler.device_rot(), jnp.asarray(basis), jnp.asarray(offsets),
+                float(self.real_space_span), self.sample_dim,
+                jnp.asarray(float(image.bg_class)), method="nearest",
+                valid_shape=jnp.asarray(sampler.valid_shape),
+            )[..., 0].astype(jnp.int32)
+        real_axis = geometry.plane_axis(self.real_space_span, self.sample_dim)
+        inv_basis = np.linalg.inv(basis.astype(np.float64)).astype(np.float32)
+        return X, y, (real_axis, real_axis, offsets), inv_basis

@@ -1,0 +1,175 @@
+"""Tests for the batch samplers and on-device augmentation."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multiplanarunet_tpu.augmentation import Elastic2D, Elastic3D, build_augmenters
+from multiplanarunet_tpu.bin.toy_data import create_dataset
+from multiplanarunet_tpu.image import ImagePairLoader
+from multiplanarunet_tpu.image.queue import EagerQueue
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.sequences import get_sequence
+
+
+@pytest.fixture(scope="module")
+def toy_queue(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seq_toy")
+    rng = np.random.RandomState(7)
+    create_dataset(root / "train", 3, 32, 1, rng, "train")
+    loader = ImagePairLoader(base_dir=root / "train", no_log=True)
+    loader.set_scaler_and_bg_values(bg_value=1.0, scaler="StandardScaler",
+                                    compute_now=True)
+    return EagerQueue(loader, logger=ScreenLogger(False))
+
+
+def _make_seq(toy_queue, **over):
+    kwargs = dict(
+        intrp_style="iso_live",
+        views=np.array([[0, 0, 1.0], [1.0, 0, 0]]),
+        dim=32,
+        batch_size=4,
+        n_classes=4,
+        real_space_span=30.0,
+        noise_sd=0.0,
+        fg_batch_fraction=0.5,
+        logger=ScreenLogger(False),
+        no_log=True,
+    )
+    kwargs.update(over)
+    return get_sequence(toy_queue, **kwargs)
+
+
+def test_multiplanar_batch_shapes(toy_queue):
+    seq = _make_seq(toy_queue)
+    X, y, w = seq[0]
+    assert X.shape == (4, 32, 32, 1)
+    assert y.shape == (4, 32, 32, 1)
+    assert w.shape == (4,)
+    assert np.isfinite(np.asarray(X)).all()
+    labs = np.asarray(y)
+    assert labs.min() >= 0 and labs.max() <= 3
+
+
+def test_multiplanar_fg_quota(toy_queue):
+    """With fg_batch_fraction=1.0 every element must contain foreground
+    (statistically guaranteed by candidate selection on this toy data)."""
+    seq = _make_seq(toy_queue, fg_batch_fraction=1.0, batch_size=4)
+    n_fg = 0
+    for _ in range(3):
+        _, y, _ = seq[0]
+        for el in np.asarray(y):
+            n_fg += int((el > 0).any())
+    assert n_fg >= 10  # 12 slices; allow rare unlucky images
+
+
+def test_multiplanar_flatten_y(toy_queue):
+    seq = _make_seq(toy_queue, flatten_y=True)
+    X, y, w = seq[0]
+    assert y.shape == (4, 32 * 32, 1)
+
+
+def test_get_view_from_stack(toy_queue):
+    seq = _make_seq(toy_queue)
+    with toy_queue.get_image_by_idx(0) as image:
+        X, y, axes, inv_basis = seq.get_view_from(
+            image, np.array([0.0, 0.0, 1.0]), "same+4"
+        )
+    assert X.shape == (32, 32, 36, 1)
+    assert y.shape == (32, 32, 36)
+    real_axis, _, offsets = axes
+    assert len(offsets) == 36
+    np.testing.assert_allclose(inv_basis, np.eye(3), atol=1e-6)
+    # span+extra*res bounds
+    res = 30.0 / 31
+    np.testing.assert_allclose(offsets[-1], (30.0 + 4 * res) / 2, rtol=1e-5)
+
+
+def test_n_planes_specs(toy_queue):
+    seq = _make_seq(toy_queue)
+    with toy_queue.get_image_by_idx(0) as image:
+        assert len(seq.plane_offsets(image, "same")) == 32
+        assert len(seq.plane_offsets(image, 10)) == 10
+        by_r = seq.plane_offsets(image, "by_radius")
+        assert len(by_r) > 0
+
+
+def test_iso3d_batch(toy_queue):
+    seq = get_sequence(
+        toy_queue, intrp_style="iso_live_3d", dim=16, batch_size=2,
+        n_classes=4, real_space_span=30.0, real_box_dim=20.0, noise_sd=0.0,
+        logger=ScreenLogger(False), no_log=True,
+    )
+    X, y, w = seq[0]
+    assert X.shape == (2, 16, 16, 16, 1)
+    assert y.shape == (2, 16, 16, 16, 1)
+    # base tiling covers volume: 32 voxels at 20mm boxes -> 2 per axis
+    with toy_queue.get_image_by_idx(0) as image:
+        tiles = list(seq.get_base_patches_from(image, return_y=True))
+    assert len(tiles) == 8
+    im, lab, corner, axes, inv, total = tiles[0]
+    assert im.shape == (16, 16, 16, 1) and total == 8
+
+
+def test_patches_3d(toy_queue):
+    seq = get_sequence(
+        toy_queue, intrp_style="patches_3d", dim=16, batch_size=2,
+        n_classes=4, logger=ScreenLogger(False), no_log=True,
+    )
+    X, y, w = seq[0]
+    assert X.shape == (2, 16, 16, 16, 1)
+    with toy_queue.get_image_by_idx(0) as image:
+        patches = list(seq.get_patches_from(image, n_extra=2))
+    assert len(patches) == 8 + 2
+
+
+def test_sliding_patches(toy_queue):
+    seq = get_sequence(
+        toy_queue, intrp_style="sliding_patches_3d", dim=16, batch_size=2,
+        n_classes=4, strides=8, logger=ScreenLogger(False), no_log=True,
+    )
+    with toy_queue.get_image_by_idx(0) as image:
+        corners = seq.corners_for(image.image.shape)
+    assert len(corners) == 27  # (0, 8, 16) per axis
+
+
+def test_elastic2d_applies_and_weights():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 2).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, (4, 32, 32)).astype(np.float32))
+    w = np.ones(4, np.float32)
+    aug = Elastic2D(alpha=[100, 200], sigma=[8, 12], apply_prob=1.0, seed=3)
+    x2, y2, w2 = aug(x, y, batch_w=w, bg_values=np.zeros((4, 2)))
+    assert x2.shape == x.shape and y2.shape == y.shape
+    assert not np.allclose(np.asarray(x2), np.asarray(x))  # deformed
+    np.testing.assert_allclose(w2, 0.33)  # aug weight applied
+    # labels remain valid classes
+    assert set(np.unique(np.asarray(y2))) <= {0.0, 1.0, 2.0}
+
+
+def test_elastic2d_apply_prob_zero_identity():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 16, 16, 1).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 2, (2, 16, 16)).astype(np.float32))
+    aug = Elastic2D(alpha=100, sigma=10, apply_prob=0.0, seed=0)
+    x2, y2, w2 = aug(x, y, batch_w=np.ones(2), bg_values=np.zeros((2, 1)))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(w2, 1.0)
+
+
+def test_elastic3d_runs():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 16, 16, 16, 1).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 2, (2, 16, 16, 16)).astype(np.float32))
+    aug = Elastic3D(alpha=[50, 100], sigma=[6, 10], apply_prob=1.0, seed=1)
+    x2, y2, _ = aug(x, y, batch_w=None, bg_values=np.zeros((2, 1)))
+    assert x2.shape == x.shape
+    assert np.isfinite(np.asarray(x2)).all()
+
+
+def test_build_augmenters_from_config():
+    augs = build_augmenters([
+        {"cls_name": "Elastic2D",
+         "kwargs": {"alpha": [0, 450], "sigma": [20, 30], "apply_prob": 0.33}},
+    ], seed=5)
+    assert len(augs) == 1 and isinstance(augs[0], Elastic2D)
