@@ -1,0 +1,21 @@
+from multiplanarunet_tpu.callbacks.callbacks import (
+    Callback,
+    CSVLogger,
+    DelayedCallback,
+    DividerLine,
+    EarlyStopping,
+    FGBatchBalancer,
+    LearningCurve,
+    MeanReduceLogArrays,
+    MemoryConsumption,
+    ModelCheckPointClean,
+    PrintLayerWeights,
+    ReduceLROnPlateau,
+    SavePredictionImages,
+    TrainTimer,
+)
+from multiplanarunet_tpu.callbacks.validation import Validation, ValDiceScores
+from multiplanarunet_tpu.callbacks.funcs import (
+    init_callback_objects,
+    remove_validation_callbacks,
+)

@@ -1,0 +1,105 @@
+"""Validation callback: full-set epoch evaluation with exact per-class stats.
+
+Parity target: `mpunet/callbacks/validation.py` — at every epoch end, run the
+model over `steps` validation batches, average the batch metrics, and
+accumulate per-class TP / relevant / selected counts to produce epoch-level
+precision, recall and dice per class (printed as a table and written into
+`logs` as val_loss / val_<metric> / val_precision / val_recall / val_dice).
+
+The reference needs a thread pool + a counting thread with a lock for this;
+here the counts are computed inside the jitted eval step on device and
+summed — no threads, no GIL."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from multiplanarunet_tpu.callbacks.callbacks import Callback
+from multiplanarunet_tpu.train.train_step import precision_recall_dice
+
+
+class Validation(Callback):
+    def __init__(self, val_sequence, steps, logger=None, verbose=True,
+                 ignore_bg=True, **kwargs):
+        self.sequence = val_sequence
+        self.steps = int(steps)
+        self.logger = logger
+        self.verbose = verbose
+        self.ignore_bg = ignore_bg
+
+    def _log(self):
+        return self.logger or (self.trainer.logger if self.trainer else print)
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs if logs is not None else {}
+        trainer = self.trainer
+        n_classes = trainer.n_classes
+        tp = np.zeros(n_classes)
+        rel = np.zeros(n_classes)
+        sel = np.zeros(n_classes)
+        batch_logs = []
+        for i in range(self.steps):
+            X, y, w = self.sequence[i]
+            step_logs, (btp, brel, bsel) = trainer.eval_step(
+                trainer.state.params, trainer.state.batch_stats, X, y, w
+            )
+            batch_logs.append({k: float(v) for k, v in step_logs.items()})
+            tp += np.asarray(btp)
+            rel += np.asarray(brel)
+            sel += np.asarray(bsel)
+
+        for key in batch_logs[0]:
+            logs[f"val_{key}"] = float(np.mean([b[key] for b in batch_logs]))
+
+        (precision, recall, dice), (mp, mr, md) = precision_recall_dice(
+            tp, rel, sel, ignore_bg=self.ignore_bg
+        )
+        logs["val_precision"] = mp
+        logs["val_recall"] = mr
+        logs["val_dice"] = md
+
+        if self.verbose:
+            log = self._log()
+            classes = np.arange(1 if self.ignore_bg else 0, n_classes)
+            log(f"\n--- Validation epoch {epoch} "
+                f"(loss={logs.get('val_loss', float('nan')):.4f}) ---")
+            log(f"{'class':>8} {'precision':>10} {'recall':>10} {'dice':>10}")
+            for i, c in enumerate(classes):
+                log(f"{c:>8} {precision[i]:>10.4f} {recall[i]:>10.4f} "
+                    f"{dice[i]:>10.4f}")
+            log(f"{'mean':>8} {mp:>10.4f} {mr:>10.4f} {md:>10.4f}")
+
+
+class ValDiceScores(Callback):
+    """Array-based validation dice over a fixed (X, y) pair — the fusion
+    trainer's lightweight epoch metric (parity:
+    `callbacks/validation.py:308-354`)."""
+
+    def __init__(self, validation_data, n_classes, batch_size=2 ** 17,
+                 logger=None, **kwargs):
+        self.X_val, self.y_val = validation_data
+        self.n_classes = int(n_classes)
+        self.batch_size = int(batch_size)
+        self.logger = logger
+
+    def eval(self):
+        from multiplanarunet_tpu.evaluate.metrics import dice_all
+
+        preds = []
+        for i in range(0, len(self.X_val), self.batch_size):
+            out = self.trainer.predict_batch(self.X_val[i:i + self.batch_size])
+            preds.append(np.argmax(np.asarray(out), -1))
+        pred = np.concatenate(preds)
+        dices = dice_all(
+            np.asarray(self.y_val).squeeze(), pred,
+            n_classes=self.n_classes, ignore_zero=True,
+        )
+        return np.nanmean(dices)
+
+    def on_epoch_end(self, epoch, logs=None):
+        mean_dice = float(self.eval())
+        if logs is not None:
+            logs["val_dice"] = mean_dice
+        (self.logger or self.trainer.logger)(
+            f"[ValDiceScores] epoch {epoch}: val_dice={mean_dice:.5f}"
+        )

@@ -1,0 +1,234 @@
+"""Trainer: compiles the train/eval steps and drives the epoch loop.
+
+Parity surface: `mpunet/train/trainer.py` — `compile_model` resolves
+optimizer/loss/metrics by name; `fit` assembles the callback stack (with the
+Validation callback first), imposes the epoch length from images_per_epoch /
+batch_size, saves sample images before training, and retries with a smaller
+batch size on device OOM (`trainer.py:140-161`).
+
+TPU specifics: one jitted step per batch (donated state, no host round-trips
+besides the scalar logs), data-parallel over a `jax.sharding.Mesh` with the
+batch axis sharded and parameters replicated (XLA inserts the gradient
+all-reduce over ICI), and global-batch BatchNorm statistics."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from multiplanarunet_tpu.callbacks.funcs import init_callback_objects
+from multiplanarunet_tpu.callbacks.validation import Validation
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.models import checkpoint as ckpt
+from multiplanarunet_tpu.parallel import mesh as mesh_lib
+from multiplanarunet_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from multiplanarunet_tpu.train.utils import (
+    ensure_sparse,
+    init_losses,
+    init_metrics,
+    init_optimizer,
+)
+
+
+def _is_oom_error(e):
+    text = str(e)
+    return "RESOURCE_EXHAUSTED" in text or "Out of memory" in text
+
+
+class Trainer:
+    """Drives training of a flax model over batch sampler sequences."""
+
+    def __init__(self, model, variables, logger=None, mesh=None):
+        self.model = model
+        self.variables = variables
+        self.logger = logger or ScreenLogger()
+        self.mesh = mesh if mesh is not None else mesh_lib.get_mesh()
+        self.n_devices = len(self.mesh.devices.ravel())
+
+        self.tx = None
+        self.loss_obj = None
+        self.metric_fns = None
+        self.state: TrainState | None = None
+        self.train_step = None
+        self.eval_step = None
+        self._predict_fn = None
+        self.stop_training = False
+        self.train_sequence = None
+        self.val_sequence = None
+
+    # ------------------------------------------------------------- compile
+    def compile_model(self, optimizer, optimizer_kwargs=None, loss=None,
+                      metrics=(), loss_kwargs=None, check_sparse=True,
+                      l1_reg=0.0, l2_reg=0.0, **kwargs):
+        metrics = list(metrics or [])
+        if check_sparse:
+            ensure_sparse([loss] + metrics)
+        self.tx = init_optimizer(optimizer, logger=self.logger,
+                                 **(optimizer_kwargs or {}))
+        self.loss_obj = init_losses(loss, logger=self.logger,
+                                    **(loss_kwargs or {}))[0]
+        self.metric_fns = init_metrics(metrics, logger=self.logger)
+        self.state = create_train_state(self.variables, self.tx)
+        if self.n_devices > 1:
+            self.state = mesh_lib.replicate(self.state, self.mesh)
+        l1 = float(l1_reg) if l1_reg else 0.0
+        l2 = float(l2_reg) if l2_reg else 0.0
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_obj, self.metric_fns,
+            l1_reg=l1, l2_reg=l2,
+        )
+        n_classes = getattr(self.model, "n_classes", None)
+        self.eval_step = make_eval_step(
+            self.model, self.loss_obj, self.metric_fns, n_classes
+        )
+        self.logger("Trainer compiled.")
+        return self
+
+    # --------------------------------------------------------------- state
+    @property
+    def n_classes(self):
+        return self.model.n_classes
+
+    @property
+    def learning_rate(self):
+        return self.state.learning_rate
+
+    def set_learning_rate(self, lr):
+        self.state = self.state.with_learning_rate(lr)
+
+    def save_checkpoint(self, path, epoch=None):
+        params = jax.device_get(self.state.params)
+        batch_stats = jax.device_get(self.state.batch_stats)
+        ckpt.save_weights(path, params, batch_stats,
+                          meta={"epoch": epoch} if epoch is not None else None)
+
+    def predict_batch(self, X):
+        if self._predict_fn is None:
+            self._predict_fn = jax.jit(
+                lambda params, bs, x: self.model.apply(
+                    {"params": params, "batch_stats": bs}, x, train=False
+                )
+            )
+        return self._predict_fn(self.state.params, self.state.batch_stats, X)
+
+    # ----------------------------------------------------------------- fit
+    def _shard(self, X, y, w):
+        if self.n_devices <= 1:
+            return X, y, w
+        pad = mesh_lib.pad_batch_to_multiple(X.shape[0], self.n_devices) - X.shape[0]
+        if pad:
+            import jax.numpy as jnp
+
+            X = jnp.concatenate([X, X[:pad]])
+            y = jnp.concatenate([y, y[:pad]])
+            w = np.concatenate([w, np.zeros(pad, w.dtype)])
+        return mesh_lib.shard_batch((X, y, np.asarray(w)), self.mesh)
+
+    def fit(self, train, val=None, batch_size=16, n_epochs=10, callbacks=(),
+            train_im_per_epoch=2500, val_im_per_epoch=3500, init_epoch=0,
+            verbose=True, no_im=False, **fit_kwargs):
+        """Run the epoch loop; returns the history list of per-epoch logs.
+
+        Retries with batch_size-2 on device OOM like the reference."""
+        self.train_sequence = train
+        self.val_sequence = val
+        if not no_im:
+            try:
+                from multiplanarunet_tpu.utils.plotting import save_images
+
+                save_images(train[0], val[0] if val is not None else None,
+                            Path("images"), self.logger)
+            except Exception as e:
+                self.logger.warn(f"Could not save sample images: {e}")
+
+        while batch_size >= 1:
+            try:
+                return self._fit(
+                    train, val, batch_size=batch_size, n_epochs=n_epochs,
+                    callbacks=callbacks, train_im_per_epoch=train_im_per_epoch,
+                    val_im_per_epoch=val_im_per_epoch, init_epoch=init_epoch,
+                    verbose=verbose,
+                )
+            except Exception as e:  # noqa: BLE001 - OOM backoff
+                if not _is_oom_error(e):
+                    raise
+                batch_size -= 2
+                self.logger.warn(
+                    f"Device OOM; retrying with batch_size={batch_size}"
+                )
+                if batch_size < 1:
+                    raise
+                train.batch_size = batch_size
+                if val is not None:
+                    val.batch_size = batch_size
+
+    def _fit(self, train, val, batch_size, n_epochs, callbacks,
+             train_im_per_epoch, val_im_per_epoch, init_epoch, verbose):
+        train.batch_size = batch_size
+        steps_per_epoch = max(1, int(train_im_per_epoch / batch_size))
+        cb_objs = []
+        if val is not None:
+            val.batch_size = batch_size
+            val_steps = max(1, int(val_im_per_epoch / batch_size))
+            cb_objs.append(Validation(val, val_steps, logger=self.logger,
+                                      verbose=verbose))
+        extra, self.cb_dict = init_callback_objects(callbacks, self.logger)
+        cb_objs += extra
+        for cb in cb_objs:
+            cb.set_trainer(self)
+
+        history = []
+        self.stop_training = False
+        for cb in cb_objs:
+            cb.on_train_begin({})
+        self.logger(
+            f"Training for {n_epochs} epochs of {steps_per_epoch} steps "
+            f"(batch {batch_size}, {self.n_devices} device(s))"
+        )
+        epoch = init_epoch
+        for epoch in range(init_epoch, n_epochs):
+            logs = {}
+            for cb in cb_objs:
+                cb.on_epoch_begin(epoch, logs)
+            accum = {}
+            for step in range(steps_per_epoch):
+                X, y, w = train[step]
+                X, y, w = self._shard(X, y, w)
+                self.state, step_logs = self.train_step(self.state, X, y, w)
+                for k, v in step_logs.items():
+                    accum.setdefault(k, []).append(v)
+            # One host sync per epoch for the scalar means
+            for k, vals in accum.items():
+                logs[k] = float(np.mean([np.asarray(v) for v in vals]))
+            logs["lr"] = self.learning_rate
+            for cb in cb_objs:
+                cb.on_epoch_end(epoch, logs)
+            if verbose:
+                summary = " - ".join(
+                    f"{k}: {v:.4f}" for k, v in logs.items()
+                    if np.isscalar(v) and np.isfinite(v)
+                )
+                self.logger(f"Epoch {epoch + 1}/{n_epochs} - {summary}")
+            history.append(logs)
+            if self.stop_training:
+                break
+        for cb in cb_objs:
+            cb.on_train_end({})
+        self._stop_queues(train, val)
+        return history
+
+    @staticmethod
+    def _stop_queues(train, val):
+        for seq in (train, val):
+            queue = getattr(seq, "image_pair_queue", None)
+            pool = getattr(queue, "loading_pool", None)
+            if pool is not None:
+                # Let daemon loader threads exit with the process
+                pool.de_register_dataset(queue.dataset.identifier)

@@ -1,0 +1,120 @@
+"""End-to-end training-loop tests on toy data (CPU, 8 virtual devices)."""
+import numpy as np
+import pytest
+
+import jax
+
+from multiplanarunet_tpu.bin.toy_data import create_dataset
+from multiplanarunet_tpu.image import ImagePairLoader
+from multiplanarunet_tpu.image.queue import EagerQueue
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.models import UNet, init_model_variables
+from multiplanarunet_tpu.parallel import get_mesh
+from multiplanarunet_tpu.sequences import get_sequence
+from multiplanarunet_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def toy_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_toy")
+    rng = np.random.RandomState(11)
+    create_dataset(root / "train", 3, 32, 1, rng, "train")
+    create_dataset(root / "val", 2, 32, 1, rng, "val")
+    loaders = {}
+    for split in ("train", "val"):
+        loader = ImagePairLoader(base_dir=root / split, no_log=True)
+        loader.set_scaler_and_bg_values(bg_value=1.0, scaler="RobustScaler",
+                                        compute_now=True)
+        loaders[split] = EagerQueue(loader, logger=ScreenLogger(False))
+    seqs = {}
+    for split, q in loaders.items():
+        seqs[split] = get_sequence(
+            q, intrp_style="iso_live",
+            views=np.array([[0, 0, 1.0], [1.0, 0, 0]]),
+            dim=32, batch_size=4, n_classes=4, real_space_span=30.0,
+            noise_sd=0.0, is_validation=split == "val",
+            logger=ScreenLogger(False), no_log=True,
+        )
+    return seqs
+
+
+def _make_trainer(tmp_path, single_device=True):
+    model = UNet(n_classes=4, dim=32, n_channels=1, depth=2, init_filters=4)
+    variables = init_model_variables(model, rng=jax.random.PRNGKey(0))
+    mesh = get_mesh(jax.devices()[:1]) if single_device else get_mesh()
+    trainer = Trainer(model, variables, logger=ScreenLogger(False), mesh=mesh)
+    trainer.compile_model(
+        optimizer="Adam", optimizer_kwargs={"lr": 1e-3},
+        loss="SparseCategoricalCrossentropy",
+        metrics=["sparse_categorical_accuracy"],
+    )
+    return trainer
+
+
+def test_training_reduces_loss(toy_setup, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _make_trainer(tmp_path)
+    history = trainer.fit(
+        toy_setup["train"], toy_setup["val"], batch_size=4, n_epochs=3,
+        train_im_per_epoch=32, val_im_per_epoch=8, no_im=True,
+        callbacks=[{
+            "class_name": "CSVLogger",
+            "kwargs": {"filename": str(tmp_path / "logs/training.csv")},
+        }],
+    )
+    assert len(history) == 3
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "val_dice" in history[-1]
+    csv = (tmp_path / "logs/training.csv").read_text()
+    assert csv.startswith("epoch")
+    assert len(csv.strip().splitlines()) == 4
+
+
+def test_checkpoint_and_early_stopping(toy_setup, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _make_trainer(tmp_path)
+    cb = [
+        {"class_name": "ModelCheckPointClean",
+         "kwargs": {"filepath": str(tmp_path) +
+                    "/model/@epoch_{epoch:02d}_val_dice_{val_dice:.5f}.npz",
+                    "monitor": "val_dice", "mode": "max"}},
+        {"class_name": "EarlyStopping",
+         "kwargs": {"monitor": "val_dice", "patience": 1, "mode": "max"}},
+        {"class_name": "TrainTimer", "kwargs": {"verbose": False}},
+    ]
+    history = trainer.fit(
+        toy_setup["train"], toy_setup["val"], batch_size=4, n_epochs=4,
+        train_im_per_epoch=8, val_im_per_epoch=4, no_im=True, callbacks=cb,
+    )
+    files = list((tmp_path / "model").glob("@epoch_*val_dice*.npz"))
+    assert len(files) == 1  # previous best deleted
+    assert "epoch_minutes" in history[-1]
+
+
+def test_rlop_changes_lr(toy_setup, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _make_trainer(tmp_path)
+    lr0 = trainer.learning_rate
+    trainer.set_learning_rate(lr0 * 0.5)
+    np.testing.assert_allclose(trainer.learning_rate, lr0 * 0.5, rtol=1e-6)
+    # RLOP with patience 1 and a constant metric must reduce lr
+    from multiplanarunet_tpu.callbacks import ReduceLROnPlateau
+
+    cb = ReduceLROnPlateau(monitor="val_dice", patience=1, factor=0.5,
+                           mode="max", verbose=0)
+    cb.set_trainer(trainer)
+    cb.on_epoch_end(0, {"val_dice": 0.5})
+    cb.on_epoch_end(1, {"val_dice": 0.5})
+    np.testing.assert_allclose(trainer.learning_rate, lr0 * 0.25, rtol=1e-6)
+
+
+def test_multi_device_data_parallel(toy_setup, tmp_path, monkeypatch):
+    """Train step over the virtual 8-device CPU mesh with sharded batches."""
+    monkeypatch.chdir(tmp_path)
+    assert len(jax.devices()) == 8
+    trainer = _make_trainer(tmp_path, single_device=False)
+    history = trainer.fit(
+        toy_setup["train"], None, batch_size=8, n_epochs=1,
+        train_im_per_epoch=16, no_im=True, callbacks=[],
+    )
+    assert np.isfinite(history[0]["loss"])
