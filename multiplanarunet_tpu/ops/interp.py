@@ -233,6 +233,103 @@ def map_view_pred_to_voxels(pred, plane_span_axis0, offsets_axis2, inv_basis,
     return grid_gather(pred, origin, spacing, pts, method=method, fill=fill)
 
 
+@partial(jax.jit, static_argnames=("out_shape", "method"))
+def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
+                         offset_step, M, t, out_shape, valid_planes,
+                         method="nearest"):
+    """Map a per-view prediction stack onto the voxel grid WITHOUT
+    materializing the voxel-position grid.
+
+    For voxel index v = (i, j, k), the reference computes
+    ``inv_basis @ (A @ v - center)`` and nearest-gathers the prediction stack
+    there (`utils/fusion/fuse_and_predict.py:92-137`). That whole transform is
+    affine, so the caller passes ``M = inv_basis @ A`` and
+    ``t = -inv_basis @ center`` and this kernel generates the query
+    coordinates from iota in-register — for a 256**3 volume this avoids
+    streaming a 200 MB coordinate grid from the host per view.
+
+    Args:
+      pred:        (d, d, P_pad, C) prediction stack (P may be padded).
+      plane_start/plane_step:   in-plane axis start/step (u and v axes).
+      offset_start/offset_step: plane-offset axis start/step.
+      M, t:        3x3 and (3,) affine taking voxel INDEX -> plane coords.
+      out_shape:   static (X, Y, Z) voxel shape.
+      valid_planes: true P (padded tail planes are treated out-of-bounds).
+
+    Returns: (X, Y, Z, C) mapped prediction with one-hot background fill.
+    """
+    X, Y, Z = out_shape
+    C = pred.shape[-1]
+    dtype = pred.dtype if pred.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    ii = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 0)
+    jj = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 1)
+    kk = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 2)
+    # plane-space coords of every voxel: M @ (i,j,k) + t
+    pts = jnp.stack(
+        [
+            M[a, 0] * ii + M[a, 1] * jj + M[a, 2] * kk + t[a]
+            for a in range(3)
+        ],
+        axis=-1,
+    )
+    fill = jnp.zeros((C,), pred.dtype).at[0].set(1.0)
+    origin = jnp.stack([plane_start, plane_start, offset_start])
+    spacing = jnp.stack([plane_step, plane_step, offset_step])
+    valid = jnp.stack([
+        jnp.asarray(pred.shape[0]), jnp.asarray(pred.shape[1]),
+        jnp.asarray(valid_planes),
+    ])
+    return grid_gather(pred, origin, spacing, pts, method=method, fill=fill,
+                       valid_shape=valid)
+
+
+@partial(jax.jit, static_argnames=("box_dim",), donate_argnums=(0,))
+def scatter_box_pred(pred_vol, pred, corner, real_box_dim, inv_box_rot,
+                     rot, origin, spacing, box_dim, valid_shape):
+    """Scatter-add one box prediction onto the nearest voxel grid positions.
+
+    The reference's `pred_3D_iso` builds a nearest interpolator from scanner
+    space to voxel indices and adds each box's softmax into the prediction
+    volume (`utils/fusion/fuse_and_predict.py:200-293`). Here the index
+    computation is a closed-form affine (the axes are uniform), and the
+    accumulation is one donated scatter-add.
+
+    Args:
+      pred_vol: (X, Y, Z, C) accumulator (donated).
+      pred:     (d, d, d, C) box prediction.
+      corner:   (3,) real-space box corner; box spans corner + [0, box_dim].
+      inv_box_rot: inverse of the random box rotation (identity if none).
+      rot:      scanner->grid alignment rotation of the image.
+      origin/spacing: centered voxel-axis parameterization.
+      valid_shape: (3,) true voxel extent.
+    """
+    dtype = pred.dtype
+    d = box_dim
+    axes = [jnp.linspace(corner[i], corner[i] + real_box_dim, d, dtype=dtype)
+            for i in range(3)]
+    pts = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+    center = jnp.mean(pts.reshape(-1, 3), axis=0)
+    # The box was sampled on the grid rotated FORWARD by box_rot about its
+    # center (`sample_box`), so prediction sample (i,j,k) lives at the rotated
+    # grid position. With row-vector points, forward rotation is
+    # ``pts @ box_rot.T`` and box_rot.T == inv_box_rot for rotations.
+    pts = (pts - center) @ inv_box_rot + center
+    pts = pts @ rot.T
+    idx_f = (pts - origin) / spacing
+    idx = jnp.round(idx_f).astype(jnp.int32)
+    n = valid_shape.astype(jnp.int32)
+    inb = jnp.all((idx >= 0) & (idx < n), axis=-1)
+    X, Y, Z, C = pred_vol.shape
+    flat_idx = (idx[..., 0] * Y + idx[..., 1]) * Z + idx[..., 2]
+    flat_idx = jnp.where(inb, flat_idx, 0)
+    contrib = jnp.where(inb[..., None], pred, 0.0)
+    flat = pred_vol.reshape(-1, C)
+    flat = flat.at[flat_idx.reshape(-1)].add(
+        contrib.reshape(-1, C), mode="drop"
+    )
+    return flat.reshape(X, Y, Z, C)
+
+
 # ---------------------------------------------------------------- numpy twin
 def grid_gather_np(values, origin, spacing, points, method="linear", fill=None):
     """Reference numpy implementation of `grid_gather` (tests / host fallback)."""

@@ -1,0 +1,355 @@
+"""Fused per-volume multi-planar inference.
+
+The reference's predict path round-trips through the host at every stage:
+plane sampling (7 threads of scipy), `model.predict` on the plane stack,
+then a 7-thread nearest remap of the full prediction hyper-volume
+(`mpunet/utils/fusion/fuse_and_predict.py`, `bin/predict.py:294-346`). Here
+each view is ONE jitted graph executed entirely on device:
+
+    plane-stack gather  ->  U-Net over plane chunks (lax.scan)
+        ->  affine nearest remap onto the (padded) voxel grid
+        ->  weighted accumulation into the fusion sum (donated buffer)
+
+and the final fusion (learned per-class-per-view weights or plain sum) is a
+bias + softmax + argmax on the accumulated volume. Because the FusionModel is
+linear in the per-view probabilities, accumulating ``W[v] * mapped_v``
+per view IS the fusion — the (n_voxels, n_views, n_classes) stack the
+reference materializes (`bin/predict.py:349-366`) never exists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiplanarunet_tpu.ops import geometry
+from multiplanarunet_tpu.ops.interp import (
+    map_view_pred_affine,
+    sample_plane_stack,
+    scatter_box_pred,
+)
+
+
+def _pad_planes(n, chunk):
+    return -(-n // chunk) * chunk
+
+
+class MultiViewPredictor:
+    """Compiles and runs the fused per-view predict graph for one model
+    configuration; reusable across images (recompiles only when the padded
+    volume bucket shape changes)."""
+
+    def __init__(self, model, variables, sample_dim, real_space_span,
+                 n_classes, chunk=8, logger=None):
+        self.model = model
+        self.variables = variables
+        self.dim = int(sample_dim)
+        self.span = float(real_space_span)
+        self.n_classes = int(n_classes)
+        self.chunk = int(chunk)
+        self.logger = logger
+        self._view_fn = None
+
+    # ---------------------------------------------------------- jit factory
+    def _build(self):
+        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+
+        @partial(jax.jit,
+                 static_argnames=("out_shape", "n_valid_planes",
+                                  "return_probs"),
+                 donate_argnums=(10,))
+        def predict_view(variables, volume, origin, spacing, rot, valid_shape,
+                         basis, offsets, fill, w_v, accum, M, t,
+                         out_shape, n_valid_planes, return_probs=False):
+            # 1) sample the plane stack (d, d, P_pad, C)
+            stack = sample_plane_stack(
+                volume, origin, spacing, rot, basis, offsets, span, dim,
+                fill, valid_shape=valid_shape,
+            )
+            planes = jnp.moveaxis(stack, 2, 0)  # (P_pad, d, d, C)
+            P_pad = planes.shape[0]
+
+            # 2) U-Net over plane chunks without leaving the graph
+            chunks = planes.reshape(P_pad // chunk, chunk, dim, dim,
+                                    planes.shape[-1])
+
+            def body(_, xs):
+                return None, model.apply(variables, xs, train=False)
+
+            _, probs = jax.lax.scan(body, None, chunks)
+            probs = probs.reshape(P_pad, dim, dim, -1)
+            pred = jnp.moveaxis(probs, 0, 2)  # (d, d, P_pad, nc)
+
+            # 3) nearest remap onto the voxel grid + weighted accumulation
+            g0 = -jnp.floor_divide(jnp.asarray(span, jnp.float32), 2.0)
+            g_step = (-2.0 * g0) / (dim - 1)
+            o_step = offsets[1] - offsets[0]
+            mapped = map_view_pred_affine(
+                pred, g0, g_step, offsets[0], o_step, M, t, out_shape,
+                n_valid_planes,
+            )
+            if return_probs:
+                side = mapped
+            else:
+                side = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
+            return accum + w_v * mapped, side
+
+        return predict_view
+
+    # -------------------------------------------------------------- running
+    def predict_image(self, image, views, fusion_params=None,
+                      n_planes="same+20", return_per_view=True):
+        """Run all views over one ImagePair and fuse.
+
+        Returns (fused_probs (X, Y, Z, nc) [true shape], per_view_argmax list
+        of (X, Y, Z) uint8 arrays or None)."""
+        if self._view_fn is None:
+            self._view_fn = self._build()
+
+        sampler = image.interpolator
+        volume = sampler.device_volume()
+        out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
+        true_shape = tuple(int(s) for s in image.shape[:3])
+
+        # Plane offsets (per-image: by_radius varies, same+N fixed)
+        offsets = self._plane_offsets(image, n_planes)
+        n_valid = len(offsets)
+        P_pad = _pad_planes(n_valid, self.chunk)
+        if P_pad != n_valid:
+            step = offsets[1] - offsets[0]
+            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
+            offsets = np.concatenate([offsets, extra]).astype(np.float32)
+
+        # Affine index->real transform (true shape defines the center)
+        A = np.asarray(image.affine, np.float64)[:3, :3]
+        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+
+        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+        per_view = [] if return_per_view else None
+        n_views = len(views)
+        W = None
+        if fusion_params is not None:
+            W = np.asarray(fusion_params["fusion"]["W"], np.float32)
+            if W.shape[0] != n_views:
+                raise ValueError(
+                    f"Fusion weights cover {W.shape[0]} views, got {n_views}"
+                )
+
+        for v, view in enumerate(views):
+            basis = geometry.plane_basis(view, noise_sd=0.0)
+            inv_basis = np.linalg.inv(basis.astype(np.float64))
+            M = (inv_basis @ A).astype(np.float32)
+            t = (-inv_basis @ center).astype(np.float32)
+            w_v = (jnp.asarray(W[v]) if W is not None
+                   else jnp.ones((self.n_classes,), jnp.float32))
+            if self.logger:
+                self.logger(f"View {v + 1}/{n_views}: {np.round(view, 4)} "
+                            f"({n_valid} planes)")
+            accum, argmax_v = self._view_fn(
+                self.variables, volume,
+                jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+                sampler.device_rot(), jnp.asarray(sampler.valid_shape),
+                jnp.asarray(basis), jnp.asarray(offsets),
+                jnp.asarray(sampler.scaled_bg_value), w_v, accum,
+                jnp.asarray(M), jnp.asarray(t),
+                out_shape, n_valid,
+            )
+            if return_per_view:
+                per_view.append(np.asarray(
+                    argmax_v[: true_shape[0], : true_shape[1], : true_shape[2]]
+                ))
+
+        if fusion_params is not None:
+            b = jnp.asarray(np.asarray(fusion_params["fusion"]["b"],
+                                       np.float32))[0]
+            fused = jax.nn.softmax(accum + b, axis=-1)
+        else:
+            fused = accum / n_views
+        fused = np.asarray(
+            fused[: true_shape[0], : true_shape[1], : true_shape[2]]
+        )
+        return fused, per_view
+
+    def predict_views_mapped(self, image, views, n_planes="same+20"):
+        """Per-view mapped probability volumes (for fusion training).
+
+        Returns (n_views, X, Y, Z, nc) float32 on host (true shape)."""
+        if self._view_fn is None:
+            self._view_fn = self._build()
+        sampler = image.interpolator
+        volume = sampler.device_volume()
+        out_shape = tuple(int(s) for s in volume.shape[:3])
+        true_shape = tuple(int(s) for s in image.shape[:3])
+        offsets = self._plane_offsets(image, n_planes)
+        n_valid = len(offsets)
+        P_pad = _pad_planes(n_valid, self.chunk)
+        if P_pad != n_valid:
+            step = offsets[1] - offsets[0]
+            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
+            offsets = np.concatenate([offsets, extra]).astype(np.float32)
+        A = np.asarray(image.affine, np.float64)[:3, :3]
+        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+        out = np.empty((len(views),) + true_shape + (self.n_classes,),
+                       np.float32)
+        for v, view in enumerate(views):
+            basis = geometry.plane_basis(view, noise_sd=0.0)
+            inv_basis = np.linalg.inv(basis.astype(np.float64))
+            M = (inv_basis @ A).astype(np.float32)
+            t = (-inv_basis @ center).astype(np.float32)
+            accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+            _, mapped = self._view_fn(
+                self.variables, volume,
+                jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+                sampler.device_rot(), jnp.asarray(sampler.valid_shape),
+                jnp.asarray(basis), jnp.asarray(offsets),
+                jnp.asarray(sampler.scaled_bg_value),
+                jnp.ones((self.n_classes,), jnp.float32), accum,
+                jnp.asarray(M), jnp.asarray(t),
+                out_shape, n_valid, return_probs=True,
+            )
+            out[v] = np.asarray(
+                mapped[: true_shape[0], : true_shape[1], : true_shape[2]]
+            )
+        return out
+
+    def _plane_offsets(self, image, n_planes):
+        sample_res = self.span / (self.dim - 1)
+        if n_planes == "by_radius":
+            bounds = geometry.get_bounding_sphere_real_radius(image)
+            n = int(2 * bounds / sample_res)
+        else:
+            extra = 0
+            if n_planes == "same":
+                n = self.dim
+            elif isinstance(n_planes, str) and n_planes.startswith("same+"):
+                extra = int(n_planes.split("+")[-1])
+                n = self.dim + extra
+            else:
+                n = int(n_planes)
+            bounds = (self.span + extra * sample_res) / 2
+        return np.linspace(-bounds, bounds, n).astype(np.float32)
+
+
+# ------------------------------------------------------- plane-stack helpers
+def predict_volume(predict_fn, X, batch_size=8, axis=2):
+    """Chunked model application over a plane stack (host-loop fallback;
+    the fused path above is preferred). X: planes on `axis`."""
+    X = jnp.moveaxis(jnp.asarray(X), axis, 0)
+    outs = []
+    for i in range(0, X.shape[0], batch_size):
+        outs.append(predict_fn(X[i:i + batch_size]))
+    out = jnp.concatenate(outs, axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def map_real_space_pred(pred, grid, inv_basis, affine, true_shape,
+                        method="nearest"):
+    """Standalone remap of a (d, d, P, C) stack onto the voxel grid.
+
+    `grid` is the (real_axis, real_axis, offsets) tuple returned by
+    `get_view_from`."""
+    real_axis, _, offsets = grid
+    A = np.asarray(affine, np.float64)[:3, :3]
+    center = A @ ((np.asarray(true_shape[:3]) - 1) / 2.0)
+    inv_basis = np.asarray(inv_basis, np.float64)
+    M = (inv_basis @ A).astype(np.float32)
+    t = (-inv_basis @ center).astype(np.float32)
+    out = map_view_pred_affine(
+        jnp.asarray(pred),
+        jnp.asarray(np.float32(real_axis[0])),
+        jnp.asarray(np.float32(real_axis[1] - real_axis[0])),
+        jnp.asarray(np.float32(offsets[0])),
+        jnp.asarray(np.float32(offsets[1] - offsets[0])),
+        jnp.asarray(M), jnp.asarray(t),
+        tuple(int(s) for s in true_shape[:3]), len(offsets), method=method,
+    )
+    return np.asarray(out)
+
+
+# ------------------------------------------------------------------ 3D paths
+def pred_3D_iso(predict_fn, sequence, image, extra_boxes, min_coverage=None,
+                logger=None):
+    """Scanner-space box inference with on-device scatter-add recon
+    (parity: `utils/fusion/fuse_and_predict.py:200-293`)."""
+    n_classes = sequence.n_classes
+    sampler = image.interpolator
+    true_shape = tuple(int(s) for s in image.shape[:3])
+    pred_vol = jnp.zeros(true_shape + (n_classes,), jnp.float32)
+
+    base = list(sequence.get_base_patches_from(image, return_y=False))
+    total_base = len(base)
+    if isinstance(extra_boxes, str):
+        total_extra = int(float(extra_boxes.rstrip("x")) * total_base)
+    else:
+        total_extra = int(extra_boxes)
+
+    def run_box(pred_vol, im, corner, inv_rot):
+        probs = predict_fn(im[None])[0]
+        return scatter_box_pred(
+            pred_vol, probs, jnp.asarray(corner),
+            jnp.asarray(np.float32(sequence.real_box_dim)),
+            jnp.asarray(inv_rot), sampler.device_rot(),
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            sequence.sample_dim, jnp.asarray(true_shape, jnp.float32),
+        )
+
+    for i, (im, corner, axes, inv_rot, _) in enumerate(base):
+        if logger:
+            logger(f"   base box {i + 1}/{total_base}", print_calling_method=False)
+        pred_vol = run_box(pred_vol, im, corner, inv_rot)
+    for i, (im, corner, axes, inv_rot) in enumerate(
+            sequence.get_N_random_patches_from(image, total_extra)):
+        if logger:
+            logger(f"   extra box {i + 1}/{total_extra}",
+                   print_calling_method=False)
+        pred_vol = run_box(pred_vol, im, corner, inv_rot)
+
+    if min_coverage:
+        covered = np.logical_not(
+            np.all(np.isclose(np.asarray(pred_vol), 0), axis=-1)
+        )
+        coverage = covered.sum() / covered.size
+        while coverage < min_coverage:
+            for im, corner, axes, inv_rot in sequence.get_N_random_patches_from(
+                    image, max(1, total_base // 4)):
+                pred_vol = run_box(pred_vol, im, corner, inv_rot)
+            covered = np.logical_not(
+                np.all(np.isclose(np.asarray(pred_vol), 0), axis=-1)
+            )
+            coverage = covered.sum() / covered.size
+    return np.asarray(pred_vol)  # un-normalized sums, as in the reference
+
+
+def predict_3D_patches(predict_fn, patches, image, n_extra=0, n_classes=None,
+                       logger=None):
+    """Voxel-space patch recon: slice-add softmax sums, normalize."""
+    i1, i2, i3 = image.shape[:3]
+    n_classes = n_classes or patches.n_classes
+    d = patches.dim
+    recon = np.zeros((i1, i2, i3, n_classes), np.float32)
+    for patch, (i, k, v), status in patches.get_patches_from(image, n_extra):
+        pred = np.asarray(predict_fn(np.asarray(patch)[None])[0])
+        recon[i:i + d, k:k + d, v:v + d] += pred[
+            : min(d, i1 - i), : min(d, i2 - k), : min(d, i3 - v)
+        ]
+    recon /= np.maximum(recon.sum(-1, keepdims=True), 1e-8)
+    return recon
+
+
+def predict_3D_patches_binary(predict_fn, patches, image, n_extra=0,
+                              logger=None, threshold=0.20):
+    """Binary vote recon (parity: `fuse_and_predict.py:140-168`)."""
+    i1, i2, i3 = image.shape[:3]
+    d = patches.dim
+    recon = np.zeros((i1, i2, i3, 2), np.uint32)
+    for patch, (i, k, v), status in patches.get_patches_from(image, n_extra):
+        pred = np.asarray(predict_fn(np.asarray(patch)[None])[0]).squeeze()
+        mask = pred > 0.5
+        sl = np.s_[i:i + d, k:k + d, v:v + d]
+        recon[sl + (0,)] += ~mask[: i1 - i, : i2 - k, : i3 - v]
+        recon[sl + (1,)] += mask[: i1 - i, : i2 - k, : i3 - v]
+    total = recon.sum(-1)
+    return (recon[..., 1] > threshold * total).astype(np.uint8)

@@ -1,0 +1,174 @@
+"""End-to-end geometry validation of the fused predict graphs.
+
+Trick: use a 'oracle' model that converts its input intensity directly into
+one-hot class probabilities, and feed it the LABEL volume as the image. The
+multi-view sample -> predict -> remap -> fuse pipeline must then reconstruct
+the original label volume almost exactly — validating every geometric stage
+without training a network."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multiplanarunet_tpu.image import ImagePair
+from multiplanarunet_tpu.io import nifti
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.ops import geometry
+from multiplanarunet_tpu.sequences import get_sequence
+from multiplanarunet_tpu.utils.fusion import (
+    MultiViewPredictor,
+    pred_3D_iso,
+    predict_3D_patches,
+)
+
+N_CLASSES = 4
+SIZE = 24
+
+
+class OneHotOracle(nn.Module):
+    """'Model' returning one_hot(round(input intensity)) — ground truth."""
+
+    n_classes: int = N_CLASSES
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cls = jnp.clip(jnp.round(x[..., 0]), 0, self.n_classes - 1)
+        return jax.nn.one_hot(cls.astype(jnp.int32), self.n_classes)
+
+
+@pytest.fixture(scope="module")
+def label_image(tmp_path_factory):
+    """An ImagePair whose IMAGE is its own label map (blocky structures)."""
+    root = tmp_path_factory.mktemp("oracle")
+    rng = np.random.RandomState(0)
+    lab = np.zeros((SIZE, SIZE, SIZE), np.uint8)
+    lab[4:12, 4:12, 4:12] = 1
+    lab[14:20, 6:14, 8:16] = 2
+    lab[6:10, 14:20, 14:20] = 3
+    affine = np.eye(4)
+    ip = root / "images" / "img.nii.gz"
+    lp = root / "labels" / "img.nii.gz"
+    ip.parent.mkdir()
+    lp.parent.mkdir()
+    nifti.save(lab.astype(np.float32), ip, affine=affine)
+    nifti.save(lab, lp, affine=affine)
+    pair = ImagePair(ip, lp)
+    pair.set_bg_value(0.0)
+    pair.set_scaler(None, compute_now=True)  # NoOp — intensities are classes
+    pair.load()
+    return pair, lab
+
+
+def _predictor():
+    model = OneHotOracle()
+    variables = {"params": {}}
+    return MultiViewPredictor(
+        model, variables, sample_dim=SIZE, real_space_span=float(SIZE - 2),
+        n_classes=N_CLASSES, chunk=4,
+    )
+
+
+def test_multi_view_predict_reconstructs_labels(label_image):
+    pair, lab = label_image
+    rng = np.random.RandomState(3)
+    views = geometry.get_random_views(4, rng=rng)
+    pred = _predictor()
+    fused, per_view = pred.predict_image(pair, views, fusion_params=None,
+                                         n_planes="same+20")
+    assert fused.shape == lab.shape + (N_CLASSES,)
+    np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
+    fused_cls = fused.argmax(-1)
+    # Interior accuracy must be near-perfect (boundary voxels can flip)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    acc = (fused_cls == lab)[interior].mean()
+    assert acc > 0.97, acc
+    # Each per-view argmax map is itself a good reconstruction
+    for pv in per_view:
+        acc_v = (pv == lab)[interior].mean()
+        assert acc_v > 0.93, acc_v
+
+
+def test_learned_fusion_weights_apply(label_image):
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(1))
+    pred = _predictor()
+    fusion_params = {
+        "fusion": {
+            "W": np.ones((3, N_CLASSES), np.float32),
+            "b": np.zeros((1, N_CLASSES), np.float32),
+        }
+    }
+    fused, _ = pred.predict_image(pair, views, fusion_params=fusion_params,
+                                  return_per_view=False)
+    np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    assert (fused.argmax(-1) == lab)[interior].mean() > 0.97
+
+
+def test_predict_views_mapped_stack(label_image):
+    pair, lab = label_image
+    views = geometry.get_random_views(2, rng=np.random.RandomState(2))
+    pred = _predictor()
+    mapped = pred.predict_views_mapped(pair, views, n_planes="same")
+    assert mapped.shape == (2,) + lab.shape + (N_CLASSES,)
+    from multiplanarunet_tpu.utils.fusion import predict_and_map
+
+    points, targets = predict_and_map(pred, pair, views, n_planes="same")
+    assert points.shape == (lab.size, 2, N_CLASSES)
+    np.testing.assert_array_equal(targets, lab.ravel())
+
+
+def test_pred_3d_iso_reconstructs(label_image):
+    pair, lab = label_image
+    seq = get_sequence(
+        _wrap_queue(pair),
+        intrp_style="iso_live_3d", dim=16, batch_size=1,
+        n_classes=N_CLASSES, real_space_span=float(SIZE),
+        real_box_dim=14.0, noise_sd=0.0,
+        logger=ScreenLogger(False), no_log=True,
+    )
+    model = OneHotOracle()
+    predict_fn = jax.jit(lambda x: model.apply({"params": {}}, x))
+    vol = pred_3D_iso(predict_fn, seq, pair, extra_boxes=0)
+    assert vol.shape == lab.shape + (N_CLASSES,)
+    covered = vol.sum(-1) > 0
+    cls = vol.argmax(-1)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    acc = (cls == lab)[interior & covered].mean()
+    assert covered[interior].mean() > 0.95
+    assert acc > 0.9, acc
+
+
+def _wrap_queue(pair):
+    """Minimal queue over a single pre-loaded ImagePair."""
+
+    class _Q:
+        def get_random_image(self):
+            from contextlib import contextmanager
+
+            @contextmanager
+            def ctx():
+                yield pair
+
+            return ctx()
+
+    return _Q()
+
+
+def test_predict_3d_patches_voxel_recon(label_image):
+    pair, lab = label_image
+    seq = get_sequence(
+        _wrap_queue(pair), intrp_style="patches_3d", dim=16, batch_size=1,
+        n_classes=N_CLASSES, logger=ScreenLogger(False), no_log=True,
+    )
+    model = OneHotOracle()
+    predict_fn = jax.jit(lambda x: model.apply({"params": {}}, x))
+    recon = predict_3D_patches(predict_fn, seq, pair, n_extra=0,
+                               n_classes=N_CLASSES)
+    acc = (recon.argmax(-1) == lab).mean()
+    assert acc > 0.99, acc
