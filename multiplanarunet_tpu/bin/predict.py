@@ -1,0 +1,228 @@
+"""`mp predict`: multi-planar inference + evaluation over a test set.
+
+Parity surface: `mpunet/bin/predict.py` — per-view whole-volume prediction,
+fusion merge (learned FusionModel weights or --sum_fusion), per-view and
+fused dice evaluation written to csv/txt result tables, PRED nii.gz saving
+(optionally alongside the input image/labels), `--continue` resume skipping
+images already predicted, single-file mode via -f/-l, and --on_val to predict
+the validation split.
+
+The heavy path runs through `MultiViewPredictor`: one fused on-device graph
+per view (sample -> U-Net -> remap -> weighted fusion accumulation) with no
+host round-trips between stages."""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def get_argparser():
+    parser = ArgumentParser(
+        description="Predict (and evaluate) using a trained project model"
+    )
+    parser.add_argument("--project_dir", type=str, default="./")
+    parser.add_argument("-f", type=str, default="",
+                        help="Predict on a single image file")
+    parser.add_argument("-l", type=str, default="",
+                        help="Label file for single-image mode (optional)")
+    parser.add_argument("--out_dir", type=str, default="predictions")
+    parser.add_argument("--num_devices", "--num_GPUs", dest="num_devices",
+                        type=int, default=0)
+    parser.add_argument("--sum_fusion", action="store_true",
+                        help="Average the per-view softmaxes instead of "
+                             "applying the learned fusion model")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--no_eval", action="store_true",
+                        help="Do not evaluate against labels")
+    parser.add_argument("--eval_prob", type=float, default=1.0,
+                        help="Evaluate only this fraction of images")
+    parser.add_argument("--on_val", action="store_true",
+                        help="Predict on the validation set instead of test")
+    parser.add_argument("--continue", action="store_true", dest="continue_",
+                        help="Skip images already predicted in out_dir")
+    parser.add_argument("--save_input_files", action="store_true",
+                        help="Save image/labels alongside predictions")
+    parser.add_argument("--no_argmax", action="store_true",
+                        help="Save the full softmax volume instead of the "
+                             "argmax class map")
+    parser.add_argument("--n_planes", type=str, default="same+20",
+                        help="Planes per view: 'same', 'same+N', "
+                             "'by_radius' or an integer")
+    return parser
+
+
+def validate_folders(project_dir, out_dir, overwrite, continue_):
+    if not (Path(project_dir) / "train_hparams.yaml").exists():
+        raise RuntimeError(f"No train_hparams.yaml in {project_dir}")
+    if not (Path(project_dir) / "views.npz").exists():
+        raise RuntimeError(f"No views.npz in {project_dir} — was the model "
+                           f"trained with 'mp train'?")
+    if not (Path(project_dir) / "model").is_dir():
+        raise RuntimeError(f"No model/ folder in {project_dir}")
+    if Path(out_dir).exists() and not (overwrite or continue_):
+        raise RuntimeError(
+            f"Output dir {out_dir} exists; pass --overwrite or --continue"
+        )
+
+
+def get_image_pair_loader(args, hparams, out_dir, logger):
+    from multiplanarunet_tpu.image import ImagePair, ImagePairLoader
+
+    if args.f:
+        loader = ImagePairLoader(predict_mode=not args.l,
+                                 initialize_empty=True, logger=logger)
+        loader.add_image(ImagePair(args.f, args.l or None, logger=logger))
+        return loader, bool(args.l)
+    group = "val_data" if args.on_val else "test_data"
+    predict_mode = args.no_eval
+    loader = ImagePairLoader(logger=logger, predict_mode=predict_mode,
+                             **hparams[group])
+    return loader, not predict_mode
+
+
+def save_nii_files(merged_cls, image_pair, nii_res_dir, save_input_files,
+                   logger):
+    from multiplanarunet_tpu.io import nifti
+
+    out_dir = Path(nii_res_dir) / image_pair.identifier
+    out_dir.mkdir(parents=True, exist_ok=True)
+    nifti.save(merged_cls.astype(np.uint8), out_dir / "PRED.nii.gz",
+               affine=image_pair.affine)
+    if save_input_files:
+        nifti.save(image_pair.image.squeeze().astype(np.float32),
+                   out_dir / "IMAGE.nii.gz", affine=image_pair.affine)
+        if image_pair.labels is not None:
+            nifti.save(image_pair.labels.astype(np.uint8),
+                       out_dir / "LABELS.nii.gz", affine=image_pair.affine)
+    logger(f"Saved prediction for {image_pair.identifier} to {out_dir}")
+
+
+def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
+                             out_dir, hparams, logger):
+    from multiplanarunet_tpu.evaluate.metrics import dice_all
+    from multiplanarunet_tpu.logging import log_results as lr
+
+    n_classes = hparams["build"]["n_classes"]
+    image_ids = sorted(loader.id_to_image)
+    csv_dir = os.path.join(out_dir, "csv")
+    nii_dir = os.path.join(out_dir, "nii_files")
+
+    already_done = set()
+    if args.continue_ and os.path.isdir(nii_dir):
+        already_done = {p for p in os.listdir(nii_dir)}
+        logger(f"[--continue] {len(already_done)} images already predicted")
+    if args.continue_ and os.path.isdir(csv_dir):
+        results, pc_results = lr.load_result_dicts(csv_dir, views)
+    else:
+        results, pc_results = lr.init_result_dicts(views, image_ids, n_classes)
+
+    rng = np.random.RandomState(0)
+    for image_id in image_ids:
+        if image_id in already_done:
+            logger(f"Skipping {image_id} (already predicted)")
+            continue
+        image = loader.get_by_id(image_id)
+        with image.loaded_in_context():
+            logger(f"\n--- Predicting on {image_id} "
+                   f"(shape {tuple(image.shape)}) ---")
+            evaluate = (not args.no_eval and image.labels is not None
+                        and rng.rand() <= args.eval_prob)
+            fused, per_view = predictor.predict_image(
+                image, views, fusion_params=fusion_params,
+                n_planes=args.n_planes, return_per_view=evaluate,
+            )
+            fused_cls = fused.argmax(-1).astype(np.uint8)
+            if evaluate:
+                labels = image.labels
+                for v, view in enumerate(views):
+                    dices = dice_all(labels, per_view[v],
+                                     n_classes=n_classes, ignore_zero=True)
+                    pc_results[str(view)][image_id] = dices
+                    results.loc[image_id, str(view)] = np.nanmean(dices)
+                    logger(f"View {v}: mean dice {np.nanmean(dices):.4f}")
+                merged_dices = dice_all(labels, fused_cls,
+                                        n_classes=n_classes, ignore_zero=True)
+                pc_results["MJ"][image_id] = merged_dices
+                results.loc[image_id, "MJ"] = np.nanmean(merged_dices)
+                logger(f"Fused: mean dice {np.nanmean(merged_dices):.4f} "
+                       f"(per-class {np.round(merged_dices, 4)})")
+                lr.save_all(results, pc_results, out_dir)
+            to_save = fused if args.no_argmax else fused_cls
+            save_nii_files(to_save, image, nii_dir, args.save_input_files,
+                           logger)
+    if not args.no_eval:
+        lr.save_all(results, pc_results, out_dir)
+    return results
+
+
+def entry_func(args=None):
+    args = get_argparser().parse_args(args)
+    project_dir = os.path.abspath(args.project_dir)
+    out_dir = os.path.abspath(os.path.join(project_dir, args.out_dir))
+    validate_folders(project_dir, out_dir, args.overwrite, args.continue_)
+    os.makedirs(out_dir, exist_ok=True)
+
+    from multiplanarunet_tpu.hyperparameters import YAMLHParams
+    from multiplanarunet_tpu.logging import Logger
+    from multiplanarunet_tpu.models import checkpoint as ckpt
+    from multiplanarunet_tpu.models import model_initializer
+    from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
+    from multiplanarunet_tpu.utils.utils import get_best_model
+
+    logger = Logger(out_dir, active_file="predict_log",
+                    overwrite_existing=True, no_sub_folder=True)
+    hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
+                          logger=logger, no_version_control=True)
+
+    loader, has_labels = get_image_pair_loader(args, hparams, out_dir, logger)
+    loader.set_scaler_and_bg_values(
+        bg_value=hparams.get_from_anywhere("bg_value"),
+        scaler=hparams.get_from_anywhere("scaler"),
+        compute_now=False,
+    )
+
+    views = np.load(Path(project_dir) / "views.npz")["arr_0"]
+    logger(f"Using {len(views)} views")
+
+    model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
+    weights = get_best_model(Path(project_dir) / "model")
+    logger(f"Loading model weights from {weights}")
+    params, batch_stats, _ = ckpt.load_weights(weights)
+    merged, _ = ckpt.restore_by_name(variables["params"], params, logger)
+    variables["params"] = merged
+    if batch_stats:
+        merged_bs, _ = ckpt.restore_by_name(
+            variables.get("batch_stats", {}), batch_stats, logger
+        )
+        variables["batch_stats"] = merged_bs
+
+    fusion_params = None
+    if not args.sum_fusion:
+        fusion_dir = Path(project_dir) / "model" / "fusion_weights"
+        candidates = sorted(fusion_dir.glob("*fusion_weights*.npz")) \
+            if fusion_dir.is_dir() else []
+        if candidates:
+            fusion_params, _, _ = ckpt.load_weights(candidates[-1])
+            logger(f"Loaded fusion weights from {candidates[-1]}")
+        else:
+            logger.warn("No fusion weights found — falling back to sum "
+                        "fusion. Run 'mp train_fusion' to train them.")
+
+    predictor = MultiViewPredictor(
+        model, variables,
+        sample_dim=hparams["build"]["dim"],
+        real_space_span=hparams["fit"]["real_space_span"],
+        n_classes=hparams["build"]["n_classes"],
+        logger=logger,
+    )
+    run_predictions_and_eval(loader, predictor, views, fusion_params, args,
+                             out_dir, hparams, logger)
+    logger("Prediction complete.")
+
+
+if __name__ == "__main__":
+    entry_func()

@@ -1,0 +1,153 @@
+"""`mp predict_3D`: inference with a 3D model.
+
+Parity surface: `mpunet/bin/predict_3D.py` — isotropic scanner-space box
+inference (`pred_3D_iso`: base tiling + extra random boxes, scatter-add
+recon) or voxel-space patch inference, dice evaluation and nii saving."""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def get_argparser():
+    parser = ArgumentParser(description="Predict with a 3D model")
+    parser.add_argument("--project_dir", type=str, default="./")
+    parser.add_argument("-f", type=str, default="",
+                        help="Predict on a single file")
+    parser.add_argument("-l", type=str, default="",
+                        help="Label file for single-file mode")
+    parser.add_argument("--out_dir", type=str, default="predictions_3D")
+    parser.add_argument("--num_devices", "--num_GPUs", dest="num_devices",
+                        type=int, default=0)
+    parser.add_argument("--extra_boxes", type=str, default="2x",
+                        help="Extra random boxes: an int or 'Nx' multiplier "
+                             "of the base-tile count")
+    parser.add_argument("--min_coverage", type=float, default=None)
+    parser.add_argument("--N_extra_patches", type=int, default=0,
+                        help="Extra random patches in voxel-patch mode")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--no_eval", action="store_true")
+    parser.add_argument("--on_val", action="store_true")
+    parser.add_argument("--save_input_files", action="store_true")
+    return parser
+
+
+def entry_func(args=None):
+    args = get_argparser().parse_args(args)
+    project_dir = os.path.abspath(args.project_dir)
+    out_dir = os.path.abspath(os.path.join(project_dir, args.out_dir))
+    if os.path.exists(out_dir) and not args.overwrite:
+        raise RuntimeError(f"{out_dir} exists; pass --overwrite")
+    os.makedirs(out_dir, exist_ok=True)
+
+    import jax
+
+    from multiplanarunet_tpu.evaluate.metrics import dice_all
+    from multiplanarunet_tpu.hyperparameters import YAMLHParams
+    from multiplanarunet_tpu.image import ImagePair, ImagePairLoader
+    from multiplanarunet_tpu.io import nifti
+    from multiplanarunet_tpu.logging import Logger, log_results as lr
+    from multiplanarunet_tpu.models import checkpoint as ckpt
+    from multiplanarunet_tpu.models import model_initializer
+    from multiplanarunet_tpu.sequences import get_sequence
+    from multiplanarunet_tpu.utils.fusion import (
+        pred_3D_iso,
+        predict_3D_patches,
+    )
+    from multiplanarunet_tpu.utils.utils import get_best_model
+
+    logger = Logger(out_dir, active_file="predict_log",
+                    overwrite_existing=True, no_sub_folder=True)
+    hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
+                          logger=logger, no_version_control=True)
+    n_classes = hparams["build"]["n_classes"]
+
+    # Data
+    if args.f:
+        loader = ImagePairLoader(predict_mode=not args.l,
+                                 initialize_empty=True, logger=logger)
+        loader.add_image(ImagePair(args.f, args.l or None, logger=logger))
+    else:
+        group = "val_data" if args.on_val else "test_data"
+        loader = ImagePairLoader(logger=logger, predict_mode=args.no_eval,
+                                 **hparams[group])
+    loader.set_scaler_and_bg_values(
+        bg_value=hparams.get_from_anywhere("bg_value"),
+        scaler=hparams.get_from_anywhere("scaler"),
+        compute_now=False,
+    )
+
+    # Model
+    model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
+    weights = get_best_model(Path(project_dir) / "model")
+    params, batch_stats, _ = ckpt.load_weights(weights)
+    variables["params"], _ = ckpt.restore_by_name(
+        variables["params"], params, logger
+    )
+    if batch_stats:
+        variables["batch_stats"], _ = ckpt.restore_by_name(
+            variables.get("batch_stats", {}), batch_stats, logger
+        )
+    logger(f"Loaded weights from {weights}")
+    predict_fn = jax.jit(
+        lambda x: model.apply(variables, x, train=False)
+    )
+
+    # Sequence (inference mode)
+    seq = get_sequence(
+        data_queue=loader,
+        is_validation=True,
+        logger=logger,
+        dim=hparams["build"]["dim"],
+        n_classes=n_classes,
+        no_log=True,
+        **hparams["fit"],
+    )
+    iso_mode = hparams["fit"]["intrp_style"].lower() == "iso_live_3d"
+
+    image_ids = sorted(loader.id_to_image)
+    results, detailed = lr.init_result_dict_3D(image_ids, n_classes)
+    nii_dir = os.path.join(out_dir, "nii_files")
+    for image_id in image_ids:
+        image = loader.get_by_id(image_id)
+        with image.loaded_in_context():
+            logger(f"\n--- Predicting on {image_id} ---")
+            if iso_mode:
+                vol = pred_3D_iso(predict_fn, seq, image,
+                                  extra_boxes=args.extra_boxes,
+                                  min_coverage=args.min_coverage,
+                                  logger=logger)
+            else:
+                vol = predict_3D_patches(predict_fn, seq, image,
+                                         n_extra=args.N_extra_patches,
+                                         n_classes=n_classes, logger=logger)
+            pred_cls = vol.argmax(-1).astype(np.uint8)
+            if not args.no_eval and image.labels is not None:
+                dices = dice_all(image.labels, pred_cls,
+                                 n_classes=n_classes, ignore_zero=True)
+                detailed[image_id] = dices
+                results[image_id] = [float(np.nanmean(dices))]
+                logger(f"Mean dice: {np.nanmean(dices):.4f} "
+                       f"(per-class {np.round(dices, 4)})")
+            img_out = Path(nii_dir) / image_id
+            img_out.mkdir(parents=True, exist_ok=True)
+            nifti.save(pred_cls, img_out / "PRED.nii.gz",
+                       affine=image.affine)
+            if args.save_input_files:
+                nifti.save(image.image.squeeze().astype(np.float32),
+                           img_out / "IMAGE.nii.gz", affine=image.affine)
+                if image.labels is not None:
+                    nifti.save(image.labels.astype(np.uint8),
+                               img_out / "LABELS.nii.gz",
+                               affine=image.affine)
+    if not args.no_eval:
+        lr.save_all_3D(results, detailed, out_dir)
+    logger("3D prediction complete.")
+
+
+if __name__ == "__main__":
+    entry_func()

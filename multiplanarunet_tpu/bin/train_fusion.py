@@ -1,0 +1,213 @@
+"""`mp train_fusion`: train the per-class-per-view FusionModel.
+
+Parity surface: `mpunet/bin/train_fusion.py` — predict all views over the
+validation images (topped up with random training images to >= --min_val_images)
+in sub-rounds of --images_per_round, stack the per-voxel (n_views, n_classes)
+probability points, and fit the FusionLayer with Adam + Sparse Generalized
+Dice Loss and early stopping, saving
+model/fusion_weights/<weights>_fusion_weights.npz after each round."""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def get_argparser():
+    parser = ArgumentParser(description="Train the view-fusion model")
+    parser.add_argument("--project_dir", type=str, default="./")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--num_devices", "--num_GPUs", dest="num_devices",
+                        type=int, default=0)
+    parser.add_argument("--images_per_round", type=int, default=5,
+                        help="Images to map per fusion training round")
+    parser.add_argument("--min_val_images", type=int, default=15,
+                        help="Top up the validation image set to this many "
+                             "images using random training images")
+    parser.add_argument("--batch_size", type=int, default=2 ** 17,
+                        help="Voxel batch size for fusion training")
+    parser.add_argument("--epochs", type=int, default=30,
+                        help="Epochs per training round")
+    parser.add_argument("--early_stopping", type=int, default=3)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--dice_weight", type=str, default="Simple",
+                        help="GDL weight type: Simple/Square/Uniform")
+    parser.add_argument("--n_planes", type=str, default="same+20")
+    return parser
+
+
+def _fit_fusion(points, targets, n_views, n_classes, args, logger,
+                init_params=None):
+    """Fit the fusion layer on stacked voxel points with early stopping."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multiplanarunet_tpu.evaluate.losses import SparseGeneralizedDiceLoss
+    from multiplanarunet_tpu.evaluate.metrics import dice_all
+    from multiplanarunet_tpu.models import FusionModel
+    from multiplanarunet_tpu.models.fusion_model import FusionLayer
+
+    fm = FusionModel(n_inputs=n_views, n_classes=n_classes)
+    params = init_params if init_params is not None else fm.init_params()
+    tx = optax.adam(args.learning_rate)
+    opt_state = tx.init(params)
+    loss_obj = SparseGeneralizedDiceLoss(type_weight=args.dice_weight)
+
+    # Shuffle + 20% validation split
+    n = len(points)
+    perm = np.random.permutation(n)
+    n_val = max(1, int(0.2 * n))
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    Xtr, ytr = points[tr_idx], targets[tr_idx]
+    Xval, yval = points[val_idx], targets[val_idx]
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = fm.apply({"params": p}, x)
+            # Treat the voxel batch as ONE element: GDL over the whole batch
+            return (loss_obj(y[None, :, None], out[None]) +
+                    FusionLayer.regularizer(p))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, x):
+        return fm.apply({"params": params}, x)
+
+    bs = args.batch_size
+    best_dice, best_params, wait = -1.0, params, 0
+    for epoch in range(args.epochs):
+        order = np.random.permutation(len(Xtr))
+        losses = []
+        for i in range(0, len(Xtr) - bs + 1 or 1, bs):
+            idx = order[i:i + bs]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(Xtr[idx]),
+                jnp.asarray(ytr[idx]),
+            )
+            losses.append(float(loss))
+        preds = []
+        for i in range(0, len(Xval), bs):
+            preds.append(np.argmax(
+                np.asarray(predict(params, jnp.asarray(Xval[i:i + bs]))), -1
+            ))
+        val_dice = float(np.nanmean(dice_all(
+            yval, np.concatenate(preds), n_classes=n_classes,
+            ignore_zero=True,
+        )))
+        logger(f"  epoch {epoch + 1}/{args.epochs}: "
+               f"loss={np.mean(losses):.5f} val_dice={val_dice:.5f}")
+        if val_dice > best_dice:
+            best_dice, best_params, wait = val_dice, params, 0
+        else:
+            wait += 1
+            if wait >= args.early_stopping:
+                logger("  early stopping.")
+                break
+    logger(f"  best fusion val_dice: {best_dice:.5f}")
+    return best_params
+
+
+def entry_func(args=None):
+    args = get_argparser().parse_args(args)
+    project_dir = os.path.abspath(args.project_dir)
+    os.chdir(project_dir)
+
+    from multiplanarunet_tpu.hyperparameters import YAMLHParams
+    from multiplanarunet_tpu.image import ImagePairLoader
+    from multiplanarunet_tpu.logging import Logger
+    from multiplanarunet_tpu.models import checkpoint as ckpt
+    from multiplanarunet_tpu.models import model_initializer
+    from multiplanarunet_tpu.utils.fusion import (
+        MultiViewPredictor,
+        predict_and_map,
+        stack_collections,
+    )
+    from multiplanarunet_tpu.utils.utils import get_best_model
+
+    logger = Logger(project_dir, active_file="train_fusion",
+                    overwrite_existing=True)
+    hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
+                          logger=logger, no_version_control=True)
+    views = np.load(Path(project_dir) / "views.npz")["arr_0"]
+    n_classes = hparams["build"]["n_classes"]
+    n_views = len(views)
+
+    weights_path = get_best_model(Path(project_dir) / "model")
+    weights_name = Path(weights_path).stem
+    fusion_dir = Path(project_dir) / "model" / "fusion_weights"
+    fusion_dir.mkdir(parents=True, exist_ok=True)
+    fusion_out = fusion_dir / f"{weights_name}_fusion_weights.npz"
+    if fusion_out.exists() and not args.overwrite:
+        raise RuntimeError(f"{fusion_out} exists; pass --overwrite")
+
+    # Unet with best weights
+    model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
+    params, batch_stats, _ = ckpt.load_weights(weights_path)
+    variables["params"], _ = ckpt.restore_by_name(
+        variables["params"], params, logger
+    )
+    if batch_stats:
+        variables["batch_stats"], _ = ckpt.restore_by_name(
+            variables.get("batch_stats", {}), batch_stats, logger
+        )
+    logger(f"Loaded U-Net weights from {weights_path}")
+
+    predictor = MultiViewPredictor(
+        model, variables, sample_dim=hparams["build"]["dim"],
+        real_space_span=hparams["fit"]["real_space_span"],
+        n_classes=n_classes, logger=logger,
+    )
+
+    # Image set: all val images, topped up with random train images
+    val_loader = ImagePairLoader(logger=logger, **hparams["val_data"])
+    images = list(val_loader.images)
+    if len(images) < args.min_val_images:
+        train_loader = ImagePairLoader(logger=logger, **hparams["train_data"])
+        need = args.min_val_images - len(images)
+        extra = list(train_loader.get_random(
+            min(need, len(train_loader)), unique=True
+        ))
+        logger(f"Adding {len(extra)} random training images to the fusion "
+               f"set")
+        images += extra
+    for im in images:
+        im.set_bg_value(hparams.get_from_anywhere("bg_value"))
+        im.set_scaler(hparams.get_from_anywhere("scaler"))
+
+    fusion_params = None
+    n_rounds = -(-len(images) // args.images_per_round)
+    for rnd in range(n_rounds):
+        batch = images[rnd * args.images_per_round:
+                       (rnd + 1) * args.images_per_round]
+        logger(f"\n=== Fusion round {rnd + 1}/{n_rounds} "
+               f"({len(batch)} images) ===")
+        points_coll, targets_coll = [], []
+        for image in batch:
+            with image.loaded_in_context():
+                logger(f"Mapping views over {image.identifier}...")
+                pts, tgt = predict_and_map(predictor, image, views,
+                                           n_planes=args.n_planes)
+                points_coll.append(pts)
+                targets_coll.append(tgt)
+        X, y = stack_collections(points_coll, targets_coll)
+        logger(f"Training fusion on {len(X)} voxel points")
+        fusion_params = _fit_fusion(X, y, n_views, n_classes, args, logger,
+                                    init_params=fusion_params)
+        ckpt.save_weights(fusion_out, fusion_params,
+                          meta={"round": rnd + 1, "n_views": n_views})
+        logger(f"Saved fusion weights to {fusion_out}")
+    logger("Fusion training complete.")
+    logger(f"Final fusion W:\n"
+           f"{np.asarray(fusion_params['fusion']['W'])}")
+
+
+if __name__ == "__main__":
+    entry_func()

@@ -1,0 +1,179 @@
+"""Data preparation: hparams -> audited loaders -> queues -> sequences.
+
+Parity surface: `mpunet/preprocessing/data_preparation_funcs.py` — the base
+loader flow (train/val ImagePairLoaders, Auditor fill of unspecified hparams,
+aug-data merge with its sample weight, --just_one/--no_val handling, queue
+selection), view creation/persistence (views.npz + views.png), and the
+per-model prepare functions consumed by `mp train`."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from multiplanarunet_tpu.image.auditor import Auditor
+from multiplanarunet_tpu.image.image_pair_loader import ImagePairLoader
+from multiplanarunet_tpu.image.queue import get_data_queues
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.ops.geometry import (
+    sample_random_views_with_angle_restriction,
+)
+from multiplanarunet_tpu.sequences import get_sequence
+
+
+def _base_loader_func(hparams, just_one, no_val, logger, mtype):
+    """Load + audit datasets; returns (train_queue, val_queue, logger,
+    auditor)."""
+    logger = logger or ScreenLogger()
+    logger("Looking for images...")
+
+    train_data = ImagePairLoader(logger=logger, **hparams["train_data"])
+    val_data = ImagePairLoader(logger=logger, **hparams["val_data"])
+
+    lab_paths = list(train_data.label_paths or []) + list(val_data.label_paths or [])
+    auditor = Auditor(
+        [str(p) for p in list(train_data.image_paths) + list(val_data.image_paths)],
+        nii_lab_paths=[str(p) for p in lab_paths] or None,
+        logger=logger,
+        dim_3d=hparams.get_from_anywhere("dim") or 64,
+        hparams=hparams,
+    )
+    auditor.fill(hparams, mtype)
+
+    aug_data = hparams.get("aug_data")
+    if aug_data:
+        if "include" not in aug_data:
+            logger.warn(
+                "'aug_data' group found without the required 'include' key — "
+                "NOT including augmented data."
+            )
+        elif aug_data["include"]:
+            logger(f"\n[*] Adding augmented data with weight "
+                   f"{aug_data['sample_weight']}")
+            train_data.add_images(ImagePairLoader(logger=logger, **aug_data))
+
+    if just_one:
+        logger("[**NOTICE**] Only running on first train & val samples.")
+        train_data.images = [train_data.images[0]]
+        val_data.images = [val_data.images[0]]
+        train_data._id_to_image = train_data.get_id_to_images_dict()
+        val_data._id_to_image = val_data.get_id_to_images_dict()
+    if no_val:
+        val_data.images = []
+        val_data._id_to_image = {}
+
+    for dataset in (train_data, val_data):
+        logger(f"Preparing dataset {dataset}")
+        dataset.set_scaler_and_bg_values(
+            bg_value=hparams.get_from_anywhere("bg_value"),
+            scaler=hparams.get_from_anywhere("scaler"),
+            compute_now=False,
+        )
+
+    max_loaded = hparams["fit"].get("max_loaded")
+    train_queue, val_queue = get_data_queues(
+        train_dataset=train_data,
+        val_dataset=val_data if len(val_data) else None,
+        train_queue_type="limitation" if max_loaded else "eager",
+        val_queue_type="eager",
+        max_loaded=max_loaded,
+        num_access_before_reload=hparams["fit"].get("num_access"),
+        logger=logger,
+    )
+    return train_queue, val_queue, logger, auditor
+
+
+def add_noise_to_views(views, sd, rng=None):
+    """Pre-add orientation noise to fixed views (non-iso_live styles)."""
+    rng = rng or np.random
+    out = []
+    for v in np.asarray(views, np.float64):
+        noisy = v + rng.normal(scale=sd, size=3)
+        out.append(noisy / np.linalg.norm(noisy))
+    return np.asarray(out)
+
+
+def load_or_create_views(hparams, continue_training, logger, base_path,
+                         auditor=None):
+    """Resolve the 'views' hparam: int -> freshly sampled restricted views
+    (persisted to views.npz + views.png); list -> optional pre-noising;
+    continue -> reload views.npz."""
+    views = hparams["fit"]["views"]
+    view_path = os.path.join(base_path, "views.npz")
+    if continue_training:
+        hparams["fit"]["views"] = np.load(view_path)["arr_0"]
+        return
+    if isinstance(views, (int, np.integer)):
+        weights = None
+        if auditor is not None:
+            weights = np.median(auditor.info["pixdims"], axis=0)
+            logger(f"[OBS] Weighting random views by median res: {weights}")
+        views = sample_random_views_with_angle_restriction(
+            int(views), 60, weights=weights, logger=logger
+        )
+        hparams["fit"]["views"] = views
+    elif isinstance(views, (list, tuple, np.ndarray)):
+        views = np.asarray(views, np.float64)
+        if hparams["fit"]["intrp_style"] != "iso_live":
+            logger(f"[Note] Pre-adding noise to views "
+                   f"(SD: {hparams['fit']['noise_sd']})")
+            views = add_noise_to_views(views, hparams["fit"]["noise_sd"])
+            hparams["fit"]["noise_sd"] = False
+        hparams["fit"]["views"] = views
+    else:
+        raise ValueError(f"Invalid 'views' value {views!r}; must be an int "
+                         f"or a list of vectors")
+    logger(f"View SD:     {hparams['fit'].get('noise_sd')}")
+    np.savez(os.path.join(base_path, "views"), hparams["fit"]["views"])
+    try:
+        from multiplanarunet_tpu.utils.plotting import plot_views
+
+        plot_views(hparams["fit"]["views"],
+                   os.path.join(base_path, "views.png"))
+    except Exception as e:  # plotting must not block training
+        logger.warn(f"Could not plot views: {e}")
+
+
+def get_sequencers(train_queue, val_queue, logger, hparams):
+    logger("Preparing sequence objects...")
+    out = []
+    for queue, is_val in ((train_queue, False), (val_queue, True)):
+        if not queue:
+            out.append(None)
+            continue
+        out.append(get_sequence(
+            data_queue=queue,
+            is_validation=is_val,
+            logger=logger,
+            dim=hparams["build"]["dim"],
+            n_classes=hparams["build"]["n_classes"],
+            **hparams["fit"],
+        ))
+    return out[0], out[1]
+
+
+def prepare_for_multi_view_unet(hparams, just_one=False, no_val=False,
+                                continue_training=False, logger=None,
+                                base_path="./"):
+    train_queue, val_queue, logger, auditor = _base_loader_func(
+        hparams, just_one, no_val, logger, "2d"
+    )
+    load_or_create_views(hparams, continue_training, logger, base_path,
+                         auditor)
+    return get_sequencers(train_queue, val_queue, logger, hparams)
+
+
+def prepare_for_3d_unet(hparams, just_one=False, no_val=False,
+                        continue_training=False, logger=None,
+                        base_path="./"):
+    train_queue, val_queue, logger, auditor = _base_loader_func(
+        hparams, just_one, no_val, logger, "3d"
+    )
+    return get_sequencers(train_queue, val_queue, logger, hparams)
+
+
+PREPARATION_FUNCS = {
+    "UNet": prepare_for_multi_view_unet,
+    "UNet3D": prepare_for_3d_unet,
+}
