@@ -1,0 +1,114 @@
+"""Headline benchmark: volumes/min/chip for full multi-planar inference.
+
+Measures the fused per-volume predict graph (6 views x (256+20) planes of
+256^2 through the reference-default U-Net [complexity_factor=2, depth=4],
+per-view remap onto the 256^3 voxel grid, learned per-class fusion) — the
+BASELINE.json north-star workload ("segment a 256^3 case end-to-end (6 views
++ fusion) in <10 s on one v5e chip").
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured volumes/min over the 6 volumes/min implied by the
+10 s/volume target."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from multiplanarunet_tpu.image.volume_sampler import VolumeSampler
+    from multiplanarunet_tpu.models import UNet, init_model_variables
+    from multiplanarunet_tpu.ops import geometry
+    from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_views = 6
+    n_classes = 7
+    n_channels = 1
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} (platform {platform})")
+    if platform == "cpu" and size > 64:
+        size = 64  # CPU smoke fallback keeps the same graph structure
+        log(f"CPU fallback: volume size -> {size}")
+
+    rng = np.random.RandomState(0)
+    volume = rng.rand(size, size, size, n_channels).astype(np.float32)
+    affine = np.eye(4)
+
+    class _Image:
+        """Minimal ImagePair stand-in around a raw volume."""
+
+        def __init__(self):
+            self.shape = np.array([size, size, size, n_channels])
+            self.affine = affine
+            self.interpolator = VolumeSampler(
+                volume, None, affine, bg_value=[0.0] * n_channels
+            )
+            self.predict_mode = True
+
+    image = _Image()
+
+    model = UNet(
+        n_classes=n_classes, dim=size, n_channels=n_channels, depth=4,
+        complexity_factor=2, dtype=__import__("jax.numpy", fromlist=["x"]).bfloat16,
+    )
+    log("initializing model...")
+    variables = init_model_variables(model, rng=jax.random.PRNGKey(0))
+    n_params = model.count_params(variables["params"])
+    log(f"UNet params: {n_params / 1e6:.1f} M")
+
+    views = geometry.sample_random_views_with_angle_restriction(
+        n_views, 60, rng=np.random.RandomState(42)
+    )
+    fusion_params = {
+        "fusion": {
+            "W": np.ones((n_views, n_classes), np.float32),
+            "b": np.zeros((1, n_classes), np.float32),
+        }
+    }
+    predictor = MultiViewPredictor(
+        model, variables, sample_dim=size, real_space_span=float(size - 1),
+        n_classes=n_classes, chunk=32,
+    )
+
+    log("warmup (compile)...")
+    t0 = time.time()
+    fused, _ = predictor.predict_image(
+        image, views, fusion_params=fusion_params, n_planes="same+20",
+        return_per_view=False,
+    )
+    log(f"warmup done in {time.time() - t0:.1f} s "
+        f"(fused shape {fused.shape})")
+
+    n_runs = 3 if platform != "cpu" else 1
+    t0 = time.time()
+    for _ in range(n_runs):
+        fused, _ = predictor.predict_image(
+            image, views, fusion_params=fusion_params, n_planes="same+20",
+            return_per_view=False,
+        )
+    elapsed = (time.time() - t0) / n_runs
+    vol_per_min = 60.0 / elapsed
+    log(f"per-volume: {elapsed:.2f} s -> {vol_per_min:.2f} volumes/min")
+
+    baseline_vol_per_min = 6.0  # 10 s / 256^3 volume north-star
+    print(json.dumps({
+        "metric": f"volumes/min/chip predict ({size}^3, 6 views + fusion)",
+        "value": round(vol_per_min, 3),
+        "unit": "volumes/min",
+        "vs_baseline": round(vol_per_min / baseline_vol_per_min, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,18 +69,21 @@ def init_model_variables(model, rng=None, input_shape=None):
         else:
             d = model.dim
             input_shape = (1, d, d, model.n_channels)
+    # Jit the init: flax's eager init would execute the whole forward pass
+    # op-by-op (disastrous over a remote-device transport); under jit it is
+    # one compiled program and XLA elides the unused forward compute.
     if isinstance(model, MultiTaskUNet2D) and input_shape is None:
         xs = tuple(
             jnp.zeros((1, d, d, c), jnp.float32)
             for d, c in zip(model.dim, model.n_channels)
         )
-        variables = model.init(rng, xs, train=False)
+        variables = jax.jit(lambda r: model.init(r, xs, train=False))(rng)
     elif isinstance(model, FusionModel):
-        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+        x = jnp.zeros(input_shape, jnp.float32)
+        variables = jax.jit(lambda r: model.init(r, x))(rng)
     else:
-        variables = model.init(
-            rng, jnp.zeros(input_shape, jnp.float32), train=False
-        )
+        x = jnp.zeros(input_shape, jnp.float32)
+        variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
     return dict(variables)
 
 

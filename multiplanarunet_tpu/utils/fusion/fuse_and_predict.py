@@ -43,7 +43,7 @@ class MultiViewPredictor:
     volume bucket shape changes)."""
 
     def __init__(self, model, variables, sample_dim, real_space_span,
-                 n_classes, chunk=8, logger=None):
+                 n_classes, chunk=16, logger=None):
         self.model = model
         self.variables = variables
         self.dim = int(sample_dim)
