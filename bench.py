@@ -24,6 +24,12 @@ def log(msg):
 
 
 def main():
+    from multiplanarunet_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
     import jax
 
     from multiplanarunet_tpu.image.volume_sampler import VolumeSampler

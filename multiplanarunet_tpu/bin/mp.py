@@ -32,6 +32,11 @@ def get_parser():
 
 
 def entry_func(args=None):
+    from multiplanarunet_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     parsed = get_parser().parse_args(args)
     module = importlib.import_module(
         f"multiplanarunet_tpu.bin.{parsed.script}"

@@ -60,6 +60,7 @@ class VolumeSampler:
         self.rot_mat = rot  # None when affine is axis-aligned
 
         self._device_volume = None
+        self._device_volume_packed = None
         self._device_labels = None
         self._scaled_cache = None
 
@@ -174,6 +175,18 @@ class VolumeSampler:
             )
         return self._device_volume
 
+    def device_volume_packed(self, bucket=32):
+        """Corner-packed scaled volume (X, Y, Z, 8, C) for the single-gather
+        trilinear path (see ops.interp.pack_corners). Cached; ~8x the volume
+        memory, used on the inference hot path."""
+        if self._device_volume_packed is None:
+            from multiplanarunet_tpu.ops.interp import pack_corners
+
+            self._device_volume_packed = pack_corners(
+                self.device_volume(bucket=bucket)
+            )
+        return self._device_volume_packed
+
     def device_labels(self, bucket=32):
         """Labels as (X, Y, Z, 1) float32 on device (nearest-gather source)."""
         import jax.numpy as jnp
@@ -196,5 +209,6 @@ class VolumeSampler:
 
     def unload_device(self):
         self._device_volume = None
+        self._device_volume_packed = None
         self._device_labels = None
         self._scaled_cache = None

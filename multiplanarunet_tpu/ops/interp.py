@@ -233,6 +233,76 @@ def map_view_pred_to_voxels(pred, plane_span_axis0, offsets_axis2, inv_basis,
     return grid_gather(pred, origin, spacing, pts, method=method, fill=fill)
 
 
+# ------------------------------------------------------- packed-corner path
+# TPU gathers cost per-GATHER, not per-byte (a row-of-8 gather is as fast as
+# a single-element gather). Pre-packing the 8 trilinear corner values of each
+# voxel into one row turns the 8-gather trilinear interpolation into ONE
+# gather — ~8x faster on the inference hot path at 8x volume memory (bf16
+# packing halves that). Used for the per-view plane-stack extraction where
+# the same volume is sampled ~1,600 times per case.
+
+_CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+
+
+@jax.jit
+def pack_corners(volume):
+    """(X, Y, Z, C) -> (X, Y, Z, 8, C) corner-packed volume.
+
+    Entry [x, y, z, c_idx] holds volume[x+dx, y+dy, z+dz] for the c_idx-th
+    corner offset. Rows at x=X-1 etc. are edge-padded and never gathered
+    (cell indices clamp to the second-to-last voxel)."""
+    p = jnp.pad(volume, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    X, Y, Z, C = volume.shape
+    return jnp.stack(
+        [p[dx:dx + X, dy:dy + Y, dz:dz + Z] for dx, dy, dz in _CORNERS],
+        axis=3,
+    )
+
+
+def grid_gather_packed(packed, origin, spacing, points, fill=None,
+                       valid_shape=None):
+    """Trilinear gather from a corner-packed volume in a single gather.
+
+    Args:
+      packed: (X, Y, Z, 8, C) from `pack_corners`.
+      others: as `grid_gather` (linear method only).
+    Returns (..., C)."""
+    X, Y, Z, _, C = packed.shape
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype)
+    spacing = jnp.asarray(spacing, dtype=points.dtype)
+    if fill is None:
+        fill = jnp.zeros((C,), dtype=packed.dtype)
+    else:
+        fill = jnp.broadcast_to(jnp.asarray(fill, dtype=packed.dtype), (C,))
+    bounds = (X, Y, Z) if valid_shape is None else valid_shape
+    i0, frac, oob = _index_parts(points, origin, spacing, bounds)
+    flat = (i0[..., 0] * Y + i0[..., 1]) * Z + i0[..., 2]
+    rows = jnp.take(packed.reshape(-1, 8, C), flat.reshape(-1), axis=0)
+    rows = rows.reshape(flat.shape + (8, C)).astype(jnp.float32)
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], -1)  # (..., 2)
+    wy = jnp.stack([1.0 - fy, fy], -1)
+    wz = jnp.stack([1.0 - fz, fz], -1)
+    w = (wx[..., :, None, None] * wy[..., None, :, None]
+         * wz[..., None, None, :]).reshape(frac.shape[:-1] + (8,))
+    out = jnp.sum(rows * w[..., None], axis=-2)
+    return jnp.where(oob[..., None], fill.astype(jnp.float32), out)
+
+
+@partial(jax.jit, static_argnames=("span", "dim"))
+def sample_plane_stack_packed(packed, origin, spacing, rot, basis, offsets,
+                              span, dim, fill, valid_shape=None):
+    """`sample_plane_stack` over a corner-packed volume (single gather)."""
+    dtype = jnp.asarray(origin).dtype
+    base = plane_points(basis, 0.0, span, dim, dtype=dtype)
+    n = basis[:, 2]
+    pts = base[:, :, None, :] + offsets.astype(dtype)[None, None, :, None] * n
+    pts = pts @ rot.T
+    return grid_gather_packed(packed, origin, spacing, pts, fill=fill,
+                              valid_shape=valid_shape)
+
+
 @partial(jax.jit, static_argnames=("out_shape", "method"))
 def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
                          offset_step, M, t, out_shape, valid_planes,

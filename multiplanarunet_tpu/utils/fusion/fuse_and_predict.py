@@ -29,6 +29,7 @@ from multiplanarunet_tpu.ops import geometry
 from multiplanarunet_tpu.ops.interp import (
     map_view_pred_affine,
     sample_plane_stack,
+    sample_plane_stack_packed,
     scatter_box_pred,
 )
 
@@ -64,8 +65,9 @@ class MultiViewPredictor:
         def predict_view(variables, volume, origin, spacing, rot, valid_shape,
                          basis, offsets, fill, w_v, accum, M, t,
                          out_shape, n_valid_planes, return_probs=False):
-            # 1) sample the plane stack (d, d, P_pad, C)
-            stack = sample_plane_stack(
+            # 1) sample the plane stack (d, d, P_pad, C) — single-gather
+            # trilinear over the corner-packed volume
+            stack = sample_plane_stack_packed(
                 volume, origin, spacing, rot, basis, offsets, span, dim,
                 fill, valid_shape=valid_shape,
             )
@@ -110,7 +112,7 @@ class MultiViewPredictor:
             self._view_fn = self._build()
 
         sampler = image.interpolator
-        volume = sampler.device_volume()
+        volume = sampler.device_volume_packed()
         out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
         true_shape = tuple(int(s) for s in image.shape[:3])
 
@@ -180,7 +182,7 @@ class MultiViewPredictor:
         if self._view_fn is None:
             self._view_fn = self._build()
         sampler = image.interpolator
-        volume = sampler.device_volume()
+        volume = sampler.device_volume_packed()
         out_shape = tuple(int(s) for s in volume.shape[:3])
         true_shape = tuple(int(s) for s in image.shape[:3])
         offsets = self._plane_offsets(image, n_planes)
@@ -353,3 +355,58 @@ def predict_3D_patches_binary(predict_fn, patches, image, n_extra=0,
         recon[sl + (1,)] += mask[: i1 - i, : i2 - k, : i3 - v]
     total = recon.sum(-1)
     return (recon[..., 1] > threshold * total).astype(np.uint8)
+
+
+# ------------------------------------------------------------- convenience
+def predict_single(image, model, variables, hparams, views=None, logger=None):
+    """Predict the full (n_views, X, Y, Z, nc) stack (iso_live) or the
+    scatter-add volume (iso_live_3d) for a single ImagePair (parity:
+    `utils/fusion/fuse_and_predict.py:predict_single`)."""
+    import os
+
+    import jax
+
+    mode = hparams["fit"]["intrp_style"].lower()
+    if mode not in ("iso_live", "iso_live_3d"):
+        raise ValueError(f"predict_single supports iso_live modes, got {mode}")
+    image.set_bg_value(hparams.get_from_anywhere("bg_value"))
+    image.set_scaler(hparams.get_from_anywhere("scaler"))
+    if mode == "iso_live":
+        if views is None:
+            views = np.load(
+                os.path.join(hparams.project_path, "views.npz")
+            )["arr_0"]
+        predictor = MultiViewPredictor(
+            model, variables, sample_dim=hparams["build"]["dim"],
+            real_space_span=hparams["fit"]["real_space_span"],
+            n_classes=hparams["build"]["n_classes"], logger=logger,
+        )
+        with image.loaded_in_context():
+            return predictor.predict_views_mapped(image, views)
+    from multiplanarunet_tpu.sequences import get_sequence
+
+    seq = get_sequence(
+        data_queue=None if False else _single_image_queue(image),
+        is_validation=True, logger=logger,
+        dim=hparams["build"]["dim"],
+        n_classes=hparams["build"]["n_classes"],
+        no_log=True, **hparams["fit"],
+    )
+    predict_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    with image.loaded_in_context():
+        return pred_3D_iso(predict_fn, seq, image, extra_boxes="3x",
+                           min_coverage=None)
+
+
+def _single_image_queue(image):
+    from contextlib import contextmanager
+
+    class _Q:
+        def get_random_image(self):
+            @contextmanager
+            def ctx():
+                yield image
+
+            return ctx()
+
+    return _Q()
