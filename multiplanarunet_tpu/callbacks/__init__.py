@@ -10,6 +10,7 @@ from multiplanarunet_tpu.callbacks.callbacks import (
     MemoryConsumption,
     ModelCheckPointClean,
     PrintLayerWeights,
+    Profiler,
     ReduceLROnPlateau,
     SavePredictionImages,
     TrainTimer,

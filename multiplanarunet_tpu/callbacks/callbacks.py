@@ -378,3 +378,36 @@ class SavePredictionImages(Callback):
             )
         except Exception as e:  # plotting must never kill training
             self.trainer.logger.warn(f"SavePredictionImages failed: {e}")
+
+
+class Profiler(Callback):
+    """jax.profiler trace of selected epochs (the tracing subsystem; replaces
+    the reference's TensorBoard profile_batch hook)."""
+
+    def __init__(self, log_dir="./profile", epochs=(1,), logger=None,
+                 **kwargs):
+        self.log_dir = str(log_dir)
+        self.epochs = set(epochs)
+        self._active = False
+
+    def on_epoch_begin(self, epoch, logs=None):
+        if epoch in self.epochs and not self._active:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def on_epoch_end(self, epoch, logs=None):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            self.trainer.logger(f"[Profiler] trace written to {self.log_dir}")
+
+    def on_train_end(self, logs=None):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False

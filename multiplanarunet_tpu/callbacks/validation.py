@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from multiplanarunet_tpu.callbacks.callbacks import Callback
-from multiplanarunet_tpu.train.train_step import precision_recall_dice
+from multiplanarunet_tpu.evaluate.metrics import precision_recall_dice
 
 
 class Validation(Callback):

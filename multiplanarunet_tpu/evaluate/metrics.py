@@ -144,3 +144,28 @@ METRICS = {
     "sparse_mean_fg_recall": sparse_mean_fg_recall,
     "sparse_mean_fg_f1": sparse_mean_fg_f1,
 }
+
+
+def precision_recall_dice(tp, rel, sel, ignore_bg=True):
+    """Epoch-level per-class precision/recall/dice from confusion counts
+    (the reference's epoch metrics, `callbacks/validation.py:59-89`)."""
+    import numpy as np
+
+    tp = np.asarray(tp, np.float64)
+    rel = np.asarray(rel, np.float64)
+    sel = np.asarray(sel, np.float64)
+    precision = np.where(sel > 0, tp / np.maximum(sel, 1), 0.0)
+    recall = np.where(rel > 0, tp / np.maximum(rel, 1), 0.0)
+    dice = np.where(rel + sel > 0, 2 * tp / np.maximum(rel + sel, 1), 0.0)
+    if ignore_bg:
+        precision, recall, dice = precision[1:], recall[1:], dice[1:]
+        rel = rel[1:]
+    # Mean over classes present in the data (parity with the reference's
+    # masking of absent classes)
+    mask = rel > 0
+    if mask.any():
+        means = (precision[mask].mean(), recall[mask].mean(),
+                 dice[mask].mean())
+    else:
+        means = (0.0, 0.0, 0.0)
+    return (precision, recall, dice), means

@@ -173,7 +173,21 @@ def prepare_for_3d_unet(hparams, just_one=False, no_val=False,
     return get_sequencers(train_queue, val_queue, logger, hparams)
 
 
+def prepare_for_multi_task_2d(hparams, **kwargs):
+    """MultiTask training data preparation.
+
+    The reference disables MultiTask training in >=0.2.6
+    (`preprocessing/data_preparation_funcs.py:237-240`); the model itself and
+    `mp branch` are supported. Kept as an explicit error for parity."""
+    raise NotImplementedError(
+        "MultiTask training is not currently supported (matching upstream "
+        "behavior). Use 'mp branch' to split the project into per-task "
+        "single-task projects."
+    )
+
+
 PREPARATION_FUNCS = {
     "UNet": prepare_for_multi_view_unet,
     "UNet3D": prepare_for_3d_unet,
+    "MultiTaskUNet2D": prepare_for_multi_task_2d,
 }

@@ -126,26 +126,5 @@ def make_eval_step(model, loss_obj, metric_fns: Dict[str, Callable],
     return jax.jit(step_fn)
 
 
-def precision_recall_dice(tp, rel, sel, ignore_bg=True):
-    """Epoch-level per-class precision/recall/dice from confusion counts
-    (the reference's epoch metrics, `callbacks/validation.py:59-89`)."""
-    import numpy as np
-
-    tp = np.asarray(tp, np.float64)
-    rel = np.asarray(rel, np.float64)
-    sel = np.asarray(sel, np.float64)
-    precision = np.where(sel > 0, tp / np.maximum(sel, 1), 0.0)
-    recall = np.where(rel > 0, tp / np.maximum(rel, 1), 0.0)
-    dice = np.where(rel + sel > 0, 2 * tp / np.maximum(rel + sel, 1), 0.0)
-    if ignore_bg:
-        precision, recall, dice = precision[1:], recall[1:], dice[1:]
-        rel = rel[1:]
-    # Mean over classes present in the data (parity with the reference's
-    # masking of absent classes)
-    mask = rel > 0
-    if mask.any():
-        means = (precision[mask].mean(), recall[mask].mean(),
-                 dice[mask].mean())
-    else:
-        means = (0.0, 0.0, 0.0)
-    return (precision, recall, dice), means
+# precision_recall_dice lives in evaluate.metrics; re-exported for callers
+from multiplanarunet_tpu.evaluate.metrics import precision_recall_dice  # noqa: E402,F401
