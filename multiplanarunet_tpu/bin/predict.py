@@ -90,8 +90,13 @@ def save_nii_files(merged_cls, image_pair, nii_res_dir, save_input_files,
 
     out_dir = Path(nii_res_dir) / image_pair.identifier
     out_dir.mkdir(parents=True, exist_ok=True)
-    nifti.save(merged_cls.astype(np.uint8), out_dir / "PRED.nii.gz",
-               affine=image_pair.affine)
+    if np.issubdtype(np.asarray(merged_cls).dtype, np.floating):
+        # Full softmax volume (--no_argmax)
+        nifti.save(merged_cls.astype(np.float32), out_dir / "PRED.nii.gz",
+                   affine=image_pair.affine)
+    else:
+        nifti.save(merged_cls.astype(np.uint8), out_dir / "PRED.nii.gz",
+                   affine=image_pair.affine)
     if save_input_files:
         nifti.save(image_pair.image.squeeze().astype(np.float32),
                    out_dir / "IMAGE.nii.gz", affine=image_pair.affine)
@@ -134,8 +139,10 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
             fused, per_view = predictor.predict_image(
                 image, views, fusion_params=fusion_params,
                 n_planes=args.n_planes, return_per_view=evaluate,
+                return_probs=args.no_argmax,
             )
-            fused_cls = fused.argmax(-1).astype(np.uint8)
+            fused_cls = (fused.argmax(-1).astype(np.uint8)
+                         if args.no_argmax else fused)
             if evaluate:
                 labels = image.labels
                 for v, view in enumerate(views):

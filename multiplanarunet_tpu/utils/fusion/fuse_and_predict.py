@@ -103,11 +103,14 @@ class MultiViewPredictor:
 
     # -------------------------------------------------------------- running
     def predict_image(self, image, views, fusion_params=None,
-                      n_planes="same+20", return_per_view=True):
+                      n_planes="same+20", return_per_view=True,
+                      return_probs=False):
         """Run all views over one ImagePair and fuse.
 
-        Returns (fused_probs (X, Y, Z, nc) [true shape], per_view_argmax list
-        of (X, Y, Z) uint8 arrays or None)."""
+        Returns (fused, per_view_argmax list of (X, Y, Z) uint8 arrays or
+        None). `fused` is the argmax class map (uint8) by default; pass
+        return_probs=True for the full softmax volume (nc x the transfer
+        size — significant on remote-device transports)."""
         if self._view_fn is None:
             self._view_fn = self._build()
 
@@ -167,11 +170,16 @@ class MultiViewPredictor:
         if fusion_params is not None:
             b = jnp.asarray(np.asarray(fusion_params["fusion"]["b"],
                                        np.float32))[0]
-            fused = jax.nn.softmax(accum + b, axis=-1)
+            fused_dev = jax.nn.softmax(accum + b, axis=-1)
         else:
-            fused = accum / n_views
+            fused_dev = accum / n_views
+        if not return_probs:
+            # Ship only the argmax class map to host (uint8) — the full
+            # softmax volume is nc x 4 bytes/voxel and dominates wall time
+            # on remote-device transports
+            fused_dev = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
         fused = np.asarray(
-            fused[: true_shape[0], : true_shape[1], : true_shape[2]]
+            fused_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
         )
         return fused, per_view
 

@@ -76,7 +76,8 @@ def test_multi_view_predict_reconstructs_labels(label_image):
     views = geometry.get_random_views(4, rng=rng)
     pred = _predictor()
     fused, per_view = pred.predict_image(pair, views, fusion_params=None,
-                                         n_planes="same+20")
+                                         n_planes="same+20",
+                                         return_probs=True)
     assert fused.shape == lab.shape + (N_CLASSES,)
     np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
     fused_cls = fused.argmax(-1)
@@ -102,7 +103,7 @@ def test_learned_fusion_weights_apply(label_image):
         }
     }
     fused, _ = pred.predict_image(pair, views, fusion_params=fusion_params,
-                                  return_per_view=False)
+                                  return_per_view=False, return_probs=True)
     np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
     interior = np.zeros_like(lab, bool)
     interior[2:-2, 2:-2, 2:-2] = True
