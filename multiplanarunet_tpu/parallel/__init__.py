@@ -7,3 +7,8 @@ from multiplanarunet_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from multiplanarunet_tpu.parallel.distributed import (
+    initialize_distributed,
+    local_batch_slice,
+    task_group_mesh,
+)

@@ -1,0 +1,68 @@
+"""Multi-host (multi-process) initialization and task-group meshes.
+
+The reference's largest-scale mode is process-parallel CV sweeps pinned to
+GPU sets (`bin/cv_experiment.py`). On TPU pods the equivalents are:
+
+  * one data-parallel job spanning all hosts of a slice: call
+    `initialize_distributed()` in every process (JAX wires coordinator
+    discovery from the TPU environment), then `get_mesh()` spans the global
+    device set and per-host input pipelines feed their local shard;
+  * task-per-host-group sweeps (e.g. one Decathlon task per v5e-4 group of a
+    v5e-16): `task_group_mesh(n_groups)` carves the global devices into
+    contiguous groups and returns this process's group mesh, so independent
+    trainings share one slice without interfering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize jax.distributed (no-op if already initialized or single
+    process). Safe to call unconditionally from CLI entry points."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Already initialized, or single-process environment without
+        # coordinator configuration
+        pass
+    return jax.process_count(), jax.process_index()
+
+
+def task_group_mesh(n_groups, group_index=None):
+    """Split the global device set into `n_groups` contiguous groups and
+    return (mesh over this process's group, group_index)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from multiplanarunet_tpu.parallel.mesh import DATA_AXIS
+
+    devices = np.asarray(jax.devices())
+    if len(devices) % n_groups:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_groups} groups"
+        )
+    per_group = len(devices) // n_groups
+    if group_index is None:
+        # Default: the group containing this process's first local device
+        local = jax.local_devices()[0]
+        flat_index = int(np.where(devices == local)[0][0])
+        group_index = flat_index // per_group
+    group = devices[group_index * per_group:(group_index + 1) * per_group]
+    return Mesh(group, (DATA_AXIS,)), group_index
+
+
+def local_batch_slice(global_batch_size):
+    """(start, size) of this process's share of a globally sharded batch."""
+    import jax
+
+    per_proc = global_batch_size // jax.process_count()
+    return jax.process_index() * per_proc, per_proc
