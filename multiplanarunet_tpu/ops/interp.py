@@ -233,6 +233,75 @@ def map_view_pred_to_voxels(pred, plane_span_axis0, offsets_axis2, inv_basis,
     return grid_gather(pred, origin, spacing, pts, method=method, fill=fill)
 
 
+# ------------------------------------------------------------- pooled path
+def grid_gather_pool(pool, slot, origin, spacing, points, method="linear",
+                     fill=None, valid_shape=None):
+    """`grid_gather` against one slot of a (N, X, Y, Z, C) volume pool.
+
+    Identical math to `grid_gather` with the flat index offset by
+    slot * X*Y*Z — lets a vmapped caller sample MANY different subjects in a
+    single fused kernel (see `sample_plane_batch_pool`)."""
+    N, X, Y, Z, C = pool.shape
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype)
+    spacing = jnp.asarray(spacing, dtype=points.dtype)
+    if fill is None:
+        fill = jnp.zeros((C,), dtype=pool.dtype)
+    else:
+        fill = jnp.broadcast_to(jnp.asarray(fill, dtype=pool.dtype), (C,))
+    bounds = (X, Y, Z) if valid_shape is None else valid_shape
+    i0, frac, oob = _index_parts(points, origin, spacing, bounds)
+    base = slot.astype(jnp.int32) * (X * Y * Z)
+    flat_pool = pool.reshape(-1, C)
+
+    def g(ix, iy, iz):
+        idx = base + (ix * Y + iy) * Z + iz
+        return jnp.take(flat_pool, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (C,)
+        )
+
+    if method == "nearest":
+        idx = jnp.where(frac <= 0.5, i0, i0 + 1)
+        out = g(idx[..., 0], idx[..., 1], idx[..., 2])
+    else:
+        fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+        ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+        out = None
+        for dx in (0, 1):
+            wx = fx if dx else (1.0 - fx)
+            for dy in (0, 1):
+                wy = fy if dy else (1.0 - fy)
+                for dz in (0, 1):
+                    wz = fz if dz else (1.0 - fz)
+                    contrib = g(ix + dx, iy + dy, iz + dz) * (wx * wy * wz)[..., None]
+                    out = contrib if out is None else out + contrib
+    return jnp.where(oob[..., None], fill, out)
+
+
+@partial(jax.jit, static_argnames=("span", "dim", "method"))
+def sample_plane_batch_pool(pool, slots, origins, spacings, rots, bases,
+                            offsets, span, dim, fills, method="linear",
+                            valid_shapes=None):
+    """Sample B independently-oriented planes from B (possibly different)
+    pool slots in ONE fused kernel.
+
+    Args:
+      pool:     (N, X, Y, Z, C) volume pool.
+      slots:    (B,) int slot per sample.
+      origins/spacings: (B, 3); rots: (B, 3, 3); bases: (B, 3, 3);
+      offsets:  (B,); fills: (B, C); valid_shapes: (B, 3).
+    Returns (B, d, d, C)."""
+    def one(slot, origin, spacing, rot, basis, offset, fill, valid):
+        pts = plane_points(basis, offset, span, dim,
+                           dtype=jnp.asarray(origin).dtype) @ rot.T
+        return grid_gather_pool(pool, slot, origin, spacing, pts,
+                                method=method, fill=fill, valid_shape=valid)
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+        slots, origins, spacings, rots, bases, offsets, fills, valid_shapes
+    )
+
+
 # ------------------------------------------------------- packed-corner path
 # TPU gathers cost per-GATHER, not per-byte (a row-of-8 gather is as fast as
 # a single-element gather). Pre-packing the 8 trilinear corner values of each

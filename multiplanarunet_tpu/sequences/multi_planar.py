@@ -29,10 +29,31 @@ import numpy as np
 
 from multiplanarunet_tpu.logging import ScreenLogger
 from multiplanarunet_tpu.ops import geometry
-from multiplanarunet_tpu.ops.interp import sample_plane, sample_plane_batch, sample_plane_stack
+from multiplanarunet_tpu.ops.interp import (
+    sample_plane,
+    sample_plane_batch,
+    sample_plane_batch_pool,
+    sample_plane_stack,
+)
 from multiplanarunet_tpu.sequences.base_sequence import BaseSequence
 
 MAX_TRIES = 10  # candidate count; mirrors the reference's retry budget
+
+
+@partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
+def _pool_candidate_labels(label_pool, slots, origins, spacings, rots, bases,
+                           offsets, span, dim, bg_classes, n_classes,
+                           valid_shapes):
+    """Nearest-gather ALL candidate label slices of a batch (B*K samples
+    across different pool slots) in one kernel; returns (labs (BK, d, d)
+    int32 on device, presence (BK, n_classes) bool)."""
+    labs = sample_plane_batch_pool(
+        label_pool, slots, origins, spacings, rots, bases, offsets, span,
+        dim, bg_classes[:, None], method="nearest",
+        valid_shapes=valid_shapes,
+    )[..., 0].astype(jnp.int32)
+    onehot = jax.nn.one_hot(labs, n_classes, dtype=jnp.bool_)
+    return labs, jnp.any(onehot, axis=(1, 2))
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
@@ -174,6 +195,87 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         self.logger(f"Noise SD:                    {self.noise_sd}")
         self.logger(f"Augmenters:                  {self.list_of_augmenters}")
 
+    # -------------------------------------------------------- pooled batches
+    def _get_pool(self):
+        """Lazily build the DeviceVolumePool over the queue's dataset. The
+        pool turns the per-slice sampling calls into TWO per-batch kernels
+        (candidate labels for all B*K slices, then the B chosen slices)."""
+        if getattr(self, "_pool", None) is None:
+            from multiplanarunet_tpu.parallel.volume_pool import (
+                DeviceVolumePool,
+            )
+
+            dataset = self.image_pair_queue.dataset
+            shape = DeviceVolumePool.shape_for(dataset.images)
+            capacity = min(
+                len(dataset),
+                getattr(self.image_pair_queue, "max_loaded", len(dataset))
+                or len(dataset),
+            )
+            self._pool = DeviceVolumePool(
+                shape, dataset.images[0].n_channels, capacity,
+                with_labels=True,
+            )
+        return self._pool
+
+    def _getitem_pooled(self, idx):
+        pool = self._get_pool()
+        B, K = self.batch_size, MAX_TRIES
+        span = float(self.real_space_span)
+        half = span // 2
+
+        slots, weights = [], []
+        for _ in range(B):
+            with self.image_pair_queue.get_random_image() as image:
+                slots.append(pool.ensure(image))
+                weights.append(image.sample_weight)
+        rep_slots = np.repeat(np.asarray(slots, np.int32), K)
+        params = pool.params_for(rep_slots)
+
+        view_idx = np.random.randint(0, len(self.views), B * K)
+        bases = np.stack([
+            geometry.plane_basis(self.views[v], noise_sd=self.noise_sd)
+            for v in view_idx
+        ]).astype(np.float32)
+        offsets = np.random.uniform(-half, half, B * K).astype(np.float32)
+
+        labs, presence = _pool_candidate_labels(
+            pool.labels, jnp.asarray(rep_slots),
+            jnp.asarray(params["origins"]), jnp.asarray(params["spacings"]),
+            jnp.asarray(params["rots"]), jnp.asarray(bases),
+            jnp.asarray(offsets), span, self.sample_dim,
+            jnp.asarray(params["bg_classes"]), self.n_classes,
+            jnp.asarray(params["valid_shapes"]),
+        )
+        presence_np = np.asarray(presence).reshape(B, K, self.n_classes)
+
+        # Sequential accept/retry over the batch (reference statistics)
+        has_fg_count = 0
+        has_fg_vec = np.zeros(len(self.fg_classes), bool)
+        chosen = np.empty(B, np.int64)
+        for b in range(B):
+            j, has_fg_vec, has_fg_count = self.select_candidate(
+                presence_np[b], has_fg_vec, has_fg_count, b
+            )
+            chosen[b] = b * K + j
+
+        chosen_params = pool.params_for(rep_slots[chosen])
+        batch_x = sample_plane_batch_pool(
+            pool.volumes, jnp.asarray(rep_slots[chosen]),
+            jnp.asarray(chosen_params["origins"]),
+            jnp.asarray(chosen_params["spacings"]),
+            jnp.asarray(chosen_params["rots"]),
+            jnp.asarray(bases[chosen]), jnp.asarray(offsets[chosen]),
+            span, self.sample_dim, jnp.asarray(chosen_params["fills"]),
+            valid_shapes=jnp.asarray(chosen_params["valid_shapes"]),
+        )
+        batch_y = labs[jnp.asarray(chosen)]
+        batch_w = np.asarray(weights, np.float32)
+        bgs = chosen_params["fills"]
+        batch_x, batch_y, batch_w = self.augment(batch_x, batch_y, batch_w,
+                                                 bgs)
+        return self.prepare_batches(batch_x, batch_y, batch_w)
+
     # ------------------------------------------------------------- training
     def _sample_slice_from(self, image, has_fg_vec, has_fg_count, cur_bs):
         """Candidate-parallel version of the reference's 10-try slice loop.
@@ -212,6 +314,19 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
 
     def __getitem__(self, idx):
         self.seed()
+        if getattr(self, "use_pool", True) and not getattr(
+                self.image_pair_queue.dataset, "predict_mode", False):
+            try:
+                return self._getitem_pooled(idx)
+            except Exception:
+                if getattr(self, "_pool_failed", False):
+                    raise
+                self._pool_failed = True
+                self.logger.warn(
+                    "Pooled batch sampling failed; falling back to the "
+                    "per-image path."
+                )
+                self.use_pool = False
         has_fg_count = 0
         has_fg_vec = np.zeros(len(self.fg_classes), bool)
         xs, ys, ws, bgs = [], [], [], []
