@@ -1,0 +1,1 @@
+from multiplanarunet_tpu.ops import elastic, geometry, interp

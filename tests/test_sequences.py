@@ -173,3 +173,33 @@ def test_build_augmenters_from_config():
          "kwargs": {"alpha": [0, 450], "sigma": [20, 30], "apply_prob": 0.33}},
     ], seed=5)
     assert len(augs) == 1 and isinstance(augs[0], Elastic2D)
+
+
+def test_pooled_and_per_image_paths_agree(toy_queue):
+    """The pooled batch path must produce batches with the same contract
+    (shapes, dtypes, label validity, fg quota) as the per-image path."""
+    seq_pool = _make_seq(toy_queue, fg_batch_fraction=1.0)
+    assert getattr(seq_pool, "use_pool", True)
+    Xp, yp, wp = seq_pool[0]
+
+    seq_plain = _make_seq(toy_queue, fg_batch_fraction=1.0)
+    seq_plain.use_pool = False
+    Xs, ys, ws = seq_plain[0]
+
+    assert Xp.shape == Xs.shape and yp.shape == ys.shape
+    for y in (yp, ys):
+        labs = np.asarray(y)
+        assert labs.min() >= 0 and labs.max() <= 3
+    # fg quota satisfied on both paths (toy volumes are fg-rich)
+    assert sum(int((np.asarray(el) > 0).any()) for el in np.asarray(yp)) >= 3
+    assert sum(int((np.asarray(el) > 0).any()) for el in np.asarray(ys)) >= 3
+
+
+def test_pool_slot_reuse(toy_queue):
+    seq = _make_seq(toy_queue)
+    seq[0]
+    pool = seq._get_pool()
+    n_before = len(pool._slot_of)
+    seq[0]
+    # Same eager dataset: slots reused, not re-staged
+    assert len(pool._slot_of) == n_before or len(pool._slot_of) <= pool.capacity
