@@ -198,12 +198,25 @@ class Trainer:
             for cb in cb_objs:
                 cb.on_epoch_begin(epoch, logs)
             accum = {}
-            for step in range(steps_per_epoch):
-                X, y, w = train[step]
-                X, y, w = self._shard(X, y, w)
-                self.state, step_logs = self.train_step(self.state, X, y, w)
-                for k, v in step_logs.items():
-                    accum.setdefault(k, []).append(v)
+            # One-deep batch prefetch: sample batch i+1 on a worker thread
+            # while the device executes step i (host-side prep overlaps with
+            # device compute; jax dispatch is thread-safe)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as prefetcher:
+                future = prefetcher.submit(train.__getitem__, 0)
+                for step in range(steps_per_epoch):
+                    X, y, w = future.result()
+                    if step + 1 < steps_per_epoch:
+                        future = prefetcher.submit(
+                            train.__getitem__, step + 1
+                        )
+                    X, y, w = self._shard(X, y, w)
+                    self.state, step_logs = self.train_step(
+                        self.state, X, y, w
+                    )
+                    for k, v in step_logs.items():
+                        accum.setdefault(k, []).append(v)
             # One host sync per epoch for the scalar means
             for k, vals in accum.items():
                 logs[k] = float(np.mean([np.asarray(v) for v in vals]))
