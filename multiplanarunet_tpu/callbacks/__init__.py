@@ -12,6 +12,7 @@ from multiplanarunet_tpu.callbacks.callbacks import (
     PrintLayerWeights,
     Profiler,
     ReduceLROnPlateau,
+    SaveOutputAs2DImage,
     SavePredictionImages,
     TrainTimer,
 )

@@ -411,3 +411,46 @@ class Profiler(Callback):
 
             jax.profiler.stop_trace()
             self._active = False
+
+
+class SaveOutputAs2DImage(Callback):
+    """Saves the model's output on a fixed sample as a 2D image per epoch
+    (parity: `callbacks/callbacks.py:276-342`)."""
+
+    def __init__(self, sequence=None, out_dir="images/outputs", every=1,
+                 logger=None, **kwargs):
+        self.sequence = sequence
+        self.out_dir = Path(out_dir)
+        self.every = every
+
+    def on_epoch_end(self, epoch, logs=None):
+        if epoch % self.every:
+            return
+        seq = self.sequence or getattr(self.trainer, "val_sequence", None) \
+            or getattr(self.trainer, "train_sequence", None)
+        if seq is None:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            X, _, _ = seq[0]
+            probs = np.asarray(self.trainer.predict_batch(X))
+            img = probs[0]
+            if img.ndim == 4:  # 3D output -> middle slice
+                img = img[img.shape[0] // 2]
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+            fig, axes = plt.subplots(1, img.shape[-1],
+                                     figsize=(3 * img.shape[-1], 3))
+            for c, ax in enumerate(np.atleast_1d(axes)):
+                ax.imshow(img[..., c], vmin=0, vmax=1)
+                ax.set_title(f"class {c}")
+                ax.axis("off")
+            fig.tight_layout()
+            fig.savefig(self.out_dir / f"output_epoch_{epoch:03d}.png",
+                        dpi=80)
+            plt.close(fig)
+        except Exception as e:
+            self.trainer.logger.warn(f"SaveOutputAs2DImage failed: {e}")

@@ -71,6 +71,15 @@ def pred_to_class(pred, img_dims=None, threshold=0.5, has_batch_dim=False):
     return np.argmax(pred, axis=-1).astype(np.uint8)
 
 
+def one_class_dice(y_true, y_pred, smooth=1.0, threshold=0.5):
+    """Binary (single-output) dice on thresholded predictions (jax)."""
+    pred = (y_pred > threshold).astype(jnp.float32)
+    y_true = y_true.astype(jnp.float32)
+    return (smooth + 2.0 * jnp.sum(y_true * pred)) / (
+        smooth + jnp.sum(y_true) + jnp.sum(pred)
+    )
+
+
 # ---------------------------------------------------------------- jax (train)
 def confusion_matrix(y_true, y_pred_cls, n_classes):
     """Static-shape confusion matrix via one-hot outer accumulation."""
@@ -137,6 +146,7 @@ def sparse_mean_fg_f1(y_true, y_pred):
 
 
 METRICS = {
+    "one_class_dice": one_class_dice,
     "sparse_categorical_accuracy": sparse_categorical_accuracy,
     "sparse_fg_recall": sparse_fg_recall,
     "sparse_fg_precision": sparse_fg_precision,

@@ -11,3 +11,4 @@ from multiplanarunet_tpu.sequences.patches_3d import (
 )
 from multiplanarunet_tpu.sequences.multi_task import MultiTaskSequence
 from multiplanarunet_tpu.sequences.utils import get_sequence
+from multiplanarunet_tpu.sequences.simple_sequences import RandomDataFeeder
