@@ -106,9 +106,12 @@ def model_initializer(hparams, continue_training=False, project_dir=None,
         if weights_path is None:
             logger.warn("No previous checkpoint found; training from scratch.")
         else:
+            # Checkpoint filenames carry the 1-based completed-epoch count;
+            # CSV rows are 0-based epoch indices. Training resumes at 0-based
+            # index == count, so completed rows are those < init_epoch.
             csv_path = Path(project_dir) / "logs" / "training.csv"
-            restored_lr, _ = get_lr_at_epoch(init_epoch, csv_path.parent)
-            clear_csv_after_epoch(init_epoch, csv_path)
+            restored_lr, _ = get_lr_at_epoch(init_epoch - 1, csv_path.parent)
+            clear_csv_after_epoch(init_epoch - 1, csv_path)
     elif initialize_from:
         weights_path = initialize_from
 

@@ -151,3 +151,50 @@ def test_predict_continue_skips(trained_project, capsys):
     # All images already predicted -> skipped
     log = (trained_project / "predictions" / "predict_log.txt").read_text()
     assert log.count("Skipping") == 2
+
+
+def test_continue_training_resumes(trained_project):
+    """--continue_training restores the last checkpoint + epoch counter and
+    extends the CSV log instead of restarting."""
+    csv_path = trained_project / "logs" / "training.csv"
+    n_before = len(csv_path.read_text().strip().splitlines())
+    cwd = os.getcwd()
+    try:
+        train.entry_func([
+            "--project_dir", str(trained_project), "--continue_training",
+            "--no_images", "--epochs", "3",
+            "--train_images_per_epoch", "8", "--val_images_per_epoch", "4",
+        ])
+    finally:
+        os.chdir(cwd)
+    lines = csv_path.read_text().strip().splitlines()
+    assert len(lines) == n_before + 1  # exactly one more epoch (2 -> 3)
+    assert lines[-1].startswith("2")  # epoch index resumed at 2
+
+
+def test_initialize_from_transfer(trained_project, tmp_path, workspace):
+    """--initialize_from restores matching weights into a fresh project."""
+    proj2 = workspace / "proj2"
+    init_project.entry_func([
+        "--name", "proj2", "--root", str(workspace),
+        "--data_dir", str(workspace / "data"), "--overwrite",
+    ])
+    hp_path = proj2 / "train_hparams.yaml"
+    text = hp_path.read_text()
+    text = text.replace("complexity_factor: 2", "complexity_factor: 0.02")
+    text = text.replace("depth: 4", "depth: 2")
+    text = text.replace("views: 6", "views: 2")
+    text = text.replace("mixed_precision: True", "mixed_precision: False")
+    hp_path.write_text(text)
+    weights = trained_project / "model" / "model_weights.npz"
+    cwd = os.getcwd()
+    try:
+        train.entry_func([
+            "--project_dir", str(proj2), "--overwrite", "--no_images",
+            "--epochs", "1", "--train_images_per_epoch", "8",
+            "--val_images_per_epoch", "4",
+            "--initialize_from", str(weights),
+        ])
+    finally:
+        os.chdir(cwd)
+    assert (proj2 / "model" / "model_weights.npz").exists()
