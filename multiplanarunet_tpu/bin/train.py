@@ -14,6 +14,8 @@ import os
 from argparse import ArgumentParser
 from pathlib import Path
 
+import numpy as np
+
 
 def get_argparser():
     parser = ArgumentParser(
@@ -178,12 +180,28 @@ def run(project_dir, logger, args):
 
     trainer = Trainer(model, variables, logger=logger, mesh=mesh)
     fit = hparams["fit"]
+    loss_kwargs = dict(fit.get("loss_kwargs") or {})
+    if fit.get("class_weights") is True and "class_weights" not in loss_kwargs:
+        # Auto-compute inverse-frequency class weights from the training set
+        # (parity: the reference's class_weights: True auto-fill)
+        from multiplanarunet_tpu.utils.utils import (
+            compute_class_weights,
+            estimate_class_frequencies,
+        )
+
+        counts = estimate_class_frequencies(
+            train.image_pair_queue, hparams["build"]["n_classes"],
+            logger=logger,
+        )
+        weights = compute_class_weights(counts)
+        loss_kwargs["class_weights"] = [round(float(w), 5) for w in weights]
+        logger(f"Auto class weights: {loss_kwargs['class_weights']}")
     trainer.compile_model(
         optimizer=fit["optimizer"],
         optimizer_kwargs=fit.get("optimizer_kwargs"),
         loss=fit["loss"],
         metrics=fit.get("metrics"),
-        loss_kwargs=fit.get("loss_kwargs"),
+        loss_kwargs=loss_kwargs,
         l1_reg=hparams["build"].get("l1_reg") or 0.0,
         l2_reg=hparams["build"].get("l2_reg") or 0.0,
     )

@@ -163,6 +163,15 @@ def estimate_class_frequencies(image_queue, n_classes, max_images=25,
     return counts
 
 
+def compute_class_weights(class_counts):
+    """Inverse-frequency class weights normalized to mean 1 (the
+    'class_weights: True' auto-fill)."""
+    counts = np.asarray(class_counts, np.float64)
+    freqs = counts / counts.sum()
+    weights = 1.0 / np.maximum(freqs, 1e-8)
+    return weights / weights.mean()
+
+
 def set_bias_weights(params, class_counts, out_layer="out_conv", logger=None):
     """Set the output 1x1 conv bias to log class frequencies.
 

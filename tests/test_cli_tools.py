@@ -156,3 +156,13 @@ def test_version_entry(capsys):
     version.entry_func([])
     out = capsys.readouterr().out
     assert "version: 0.1.0" in out
+
+
+def test_compute_class_weights():
+    from multiplanarunet_tpu.utils.utils import compute_class_weights
+
+    w = compute_class_weights([900, 90, 10])
+    assert w[2] > w[1] > w[0]
+    np.testing.assert_allclose(w.mean(), 1.0)
+    # weights inversely proportional to frequency
+    np.testing.assert_allclose(w[1] / w[0], 10.0, rtol=1e-6)
