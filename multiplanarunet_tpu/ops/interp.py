@@ -372,10 +372,10 @@ def sample_plane_stack_packed(packed, origin, spacing, rot, basis, offsets,
                               valid_shape=valid_shape)
 
 
-@partial(jax.jit, static_argnames=("out_shape", "method"))
+@partial(jax.jit, static_argnames=("out_shape", "method", "x_slab"))
 def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
                          offset_step, M, t, out_shape, valid_planes,
-                         method="nearest"):
+                         method="nearest", x_slab=None):
     """Map a per-view prediction stack onto the voxel grid WITHOUT
     materializing the voxel-position grid.
 
@@ -399,18 +399,6 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
     """
     X, Y, Z = out_shape
     C = pred.shape[-1]
-    dtype = pred.dtype if pred.dtype in (jnp.float32, jnp.float64) else jnp.float32
-    ii = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 0)
-    jj = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 1)
-    kk = jax.lax.broadcasted_iota(dtype, (X, Y, Z), 2)
-    # plane-space coords of every voxel: M @ (i,j,k) + t
-    pts = jnp.stack(
-        [
-            M[a, 0] * ii + M[a, 1] * jj + M[a, 2] * kk + t[a]
-            for a in range(3)
-        ],
-        axis=-1,
-    )
     fill = jnp.zeros((C,), pred.dtype).at[0].set(1.0)
     origin = jnp.stack([plane_start, plane_start, offset_start])
     spacing = jnp.stack([plane_step, plane_step, offset_step])
@@ -418,8 +406,32 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
         jnp.asarray(pred.shape[0]), jnp.asarray(pred.shape[1]),
         jnp.asarray(valid_planes),
     ])
-    return grid_gather(pred, origin, spacing, pts, method=method, fill=fill,
-                       valid_shape=valid)
+
+    # Scan over X-slabs so only one slab's coordinate grid is live at a time
+    # (at 512^3 the full (X, Y, Z, 3) grid alone is 1.6 GB)
+    if x_slab is None:
+        x_slab = X if X * Y * Z <= 64 ** 3 else max(32, X // 16)
+    if X % x_slab:
+        x_slab = X  # fall back to single pass for odd shapes
+    n_slabs = X // x_slab
+
+    def one_slab(slab_idx):
+        x0 = (slab_idx * x_slab).astype(jnp.float32)
+        ii = x0 + jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 0)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 1)
+        kk = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 2)
+        pts = jnp.stack(
+            [M[a, 0] * ii + M[a, 1] * jj + M[a, 2] * kk + t[a]
+             for a in range(3)],
+            axis=-1,
+        )
+        return grid_gather(pred, origin, spacing, pts, method=method,
+                           fill=fill, valid_shape=valid)
+
+    if n_slabs == 1:
+        return one_slab(jnp.asarray(0))
+    out = jax.lax.map(one_slab, jnp.arange(n_slabs))
+    return out.reshape((X, Y, Z, C))
 
 
 @partial(jax.jit, static_argnames=("box_dim",), donate_argnums=(0,))

@@ -83,7 +83,9 @@ class MultiViewPredictor:
 
             _, probs = jax.lax.scan(body, None, chunks)
             probs = probs.reshape(P_pad, dim, dim, -1)
-            pred = jnp.moveaxis(probs, 0, 2)  # (d, d, P_pad, nc)
+            # bf16 remap source: halves the (d, d, P, nc) stack; the fusion
+            # accumulation below stays float32
+            pred = jnp.moveaxis(probs, 0, 2).astype(jnp.bfloat16)
 
             # 3) nearest remap onto the voxel grid + weighted accumulation
             g0 = -jnp.floor_divide(jnp.asarray(span, jnp.float32), 2.0)
@@ -92,7 +94,7 @@ class MultiViewPredictor:
             mapped = map_view_pred_affine(
                 pred, g0, g_step, offsets[0], o_step, M, t, out_shape,
                 n_valid_planes,
-            )
+            ).astype(jnp.float32)
             if return_probs:
                 side = mapped
             else:
