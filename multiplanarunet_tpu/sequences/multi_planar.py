@@ -212,6 +212,14 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                 getattr(self.image_pair_queue, "max_loaded", len(dataset))
                 or len(dataset),
             )
+            if capacity < self.batch_size and capacity < len(dataset):
+                # A batch may draw more distinct images than the pool holds;
+                # LRU eviction could then overwrite a slot already referenced
+                # by an earlier sample of the SAME batch. Fall back.
+                raise RuntimeError(
+                    f"volume pool capacity {capacity} < batch size "
+                    f"{self.batch_size}; using per-image sampling"
+                )
             self._pool = DeviceVolumePool(
                 shape, dataset.images[0].n_channels, capacity,
                 with_labels=True,
