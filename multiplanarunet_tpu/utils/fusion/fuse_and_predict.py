@@ -185,6 +185,134 @@ class MultiViewPredictor:
         )
         return fused, per_view
 
+    # ------------------------------------------------------- multi-chip path
+    def predict_image_sharded(self, image, views, mesh, fusion_params=None,
+                              n_planes="same+20"):
+        """Multi-chip inference: shard the VIEWS across the mesh.
+
+        Each device runs the fused sample->U-Net->remap pipeline for its
+        local subset of views (volume + parameters replicated) and the
+        weighted fusion accumulation reduces with a psum over ICI — the
+        natural scale-out of the multi-planar method (each view is
+        independent until the final linear fusion). Views pad to a multiple
+        of the device count with zero-weight dummies.
+
+        Returns the fused argmax class map (uint8, true shape)."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from multiplanarunet_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = int(mesh.devices.size)
+        sampler = image.interpolator
+        volume = sampler.device_volume_packed()
+        out_shape = tuple(int(s) for s in volume.shape[:3])
+        true_shape = tuple(int(s) for s in image.shape[:3])
+
+        offsets = self._plane_offsets(image, n_planes)
+        n_valid = len(offsets)
+        P_pad = _pad_planes(n_valid, self.chunk)
+        if P_pad != n_valid:
+            step = offsets[1] - offsets[0]
+            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
+            offsets = np.concatenate([offsets, extra]).astype(np.float32)
+
+        A = np.asarray(image.affine, np.float64)[:3, :3]
+        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+
+        n_views = len(views)
+        V_pad = -(-n_views // n_dev) * n_dev
+        bases = np.tile(np.eye(3, dtype=np.float32), (V_pad, 1, 1))
+        Ms = np.tile(np.eye(3, dtype=np.float32), (V_pad, 1, 1))
+        ts = np.zeros((V_pad, 3), np.float32)
+        w = np.zeros((V_pad, self.n_classes), np.float32)
+        W = (np.asarray(fusion_params["fusion"]["W"], np.float32)
+             if fusion_params is not None
+             else np.ones((n_views, self.n_classes), np.float32))
+        for v, view in enumerate(views):
+            basis = geometry.plane_basis(view, noise_sd=0.0)
+            inv_basis = np.linalg.inv(basis.astype(np.float64))
+            bases[v] = basis
+            Ms[v] = (inv_basis @ A).astype(np.float32)
+            ts[v] = (-inv_basis @ center).astype(np.float32)
+            w[v] = W[v]
+
+        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+        nc = self.n_classes
+        g0 = np.float32(-(span // 2))
+        g_step = np.float32((-2.0 * g0) / (dim - 1))
+        o0 = np.float32(offsets[0])
+        o_step = np.float32(offsets[1] - offsets[0])
+
+        def per_view(variables, volume, origin, spacing, rot, valid_shape,
+                     offs, basis, M, t, w_v, accum):
+            stack = sample_plane_stack_packed(
+                volume, origin, spacing, rot, basis, offs, span, dim,
+                jnp.asarray(sampler.scaled_bg_value),
+                valid_shape=valid_shape,
+            )
+            planes = jnp.moveaxis(stack, 2, 0)
+            chunks = planes.reshape(-1, chunk, dim, dim, planes.shape[-1])
+
+            def body(_, xs):
+                return None, model.apply(variables, xs, train=False)
+
+            _, probs = jax.lax.scan(body, None, chunks)
+            pred = jnp.moveaxis(
+                probs.reshape(-1, dim, dim, nc), 0, 2
+            ).astype(jnp.bfloat16)
+            mapped = map_view_pred_affine(
+                pred, g0, g_step, o0, o_step, M, t, out_shape, n_valid,
+            ).astype(jnp.float32)
+            return accum + w_v * mapped
+
+        def shard_fn(variables, volume, origin, spacing, rot, valid_shape,
+                     offs, bases_l, Ms_l, ts_l, ws_l):
+            accum = jnp.zeros(out_shape + (nc,), jnp.float32)
+
+            def body(acc, xs):
+                basis, M, t, w_v = xs
+                return per_view(variables, volume, origin, spacing, rot,
+                                valid_shape, offs, basis, M, t, w_v, acc), None
+
+            accum, _ = jax.lax.scan(body, accum, (bases_l, Ms_l, ts_l, ws_l))
+            return jax.lax.psum(accum, DATA_AXIS)
+
+        import inspect
+
+        sm_kwargs = {}
+        sig = inspect.signature(shard_map).parameters
+        if "check_rep" in sig:
+            sm_kwargs["check_rep"] = False
+        elif "check_vma" in sig:
+            sm_kwargs["check_vma"] = False
+        sharded = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+            **sm_kwargs,
+        ))
+        accum = sharded(
+            self.variables, volume,
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            sampler.device_rot(), jnp.asarray(sampler.valid_shape),
+            jnp.asarray(offsets), jnp.asarray(bases), jnp.asarray(Ms),
+            jnp.asarray(ts), jnp.asarray(w),
+        )
+        if fusion_params is not None:
+            b = jnp.asarray(np.asarray(fusion_params["fusion"]["b"],
+                                       np.float32))[0]
+            accum = accum + b
+        fused_cls = jnp.argmax(accum, axis=-1).astype(jnp.uint8)
+        return np.asarray(
+            fused_cls[: true_shape[0], : true_shape[1], : true_shape[2]]
+        )
+
     def predict_views_mapped(self, image, views, n_planes="same+20"):
         """Per-view mapped probability volumes (for fusion training).
 

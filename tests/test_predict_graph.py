@@ -173,3 +173,40 @@ def test_predict_3d_patches_voxel_recon(label_image):
                                n_classes=N_CLASSES)
     acc = (recon.argmax(-1) == lab).mean()
     assert acc > 0.99, acc
+
+
+def test_sharded_multichip_predict_matches_sequential(label_image):
+    """View-parallel inference over the 8-device mesh must equal the
+    single-device sequential result exactly (same math, psum fusion)."""
+    import jax
+
+    from multiplanarunet_tpu.parallel import get_mesh
+
+    pair, lab = label_image
+    views = geometry.get_random_views(5, rng=np.random.RandomState(7))
+    pred = _predictor()
+    mesh = get_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+
+    fused_seq, _ = pred.predict_image(pair, views, fusion_params=None,
+                                      n_planes="same", return_per_view=False)
+    fused_sharded = pred.predict_image_sharded(pair, views, mesh,
+                                               n_planes="same")
+    # Sequential path averages (fused = accum/n_views) before argmax; the
+    # sharded path argmaxes the raw accum — identical argmax either way
+    np.testing.assert_array_equal(fused_sharded, np.asarray(fused_seq))
+
+    # With learned fusion weights too
+    fusion_params = {
+        "fusion": {
+            "W": np.linspace(0.5, 1.5, 5 * N_CLASSES,
+                             dtype=np.float32).reshape(5, N_CLASSES),
+            "b": np.full((1, N_CLASSES), 0.1, np.float32),
+        }
+    }
+    a = pred.predict_image(pair, views, fusion_params=fusion_params,
+                           n_planes="same", return_per_view=False)[0]
+    b = pred.predict_image_sharded(pair, views, mesh,
+                                   fusion_params=fusion_params,
+                                   n_planes="same")
+    np.testing.assert_array_equal(b, np.asarray(a))
