@@ -136,11 +136,20 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
                    f"(shape {tuple(image.shape)}) ---")
             evaluate = (not args.no_eval and image.labels is not None
                         and rng.rand() <= args.eval_prob)
-            fused, per_view = predictor.predict_image(
-                image, views, fusion_params=fusion_params,
-                n_planes=args.n_planes, return_per_view=evaluate,
-                return_probs=args.no_argmax,
-            )
+            if (getattr(predictor, "mesh", None) is not None
+                    and not evaluate and not args.no_argmax):
+                # Multi-device: shard views over the mesh (no per-view eval)
+                fused = predictor.predict_image_sharded(
+                    image, views, predictor.mesh,
+                    fusion_params=fusion_params, n_planes=args.n_planes,
+                )
+                per_view = None
+            else:
+                fused, per_view = predictor.predict_image(
+                    image, views, fusion_params=fusion_params,
+                    n_planes=args.n_planes, return_per_view=evaluate,
+                    return_probs=args.no_argmax,
+                )
             fused_cls = (fused.argmax(-1).astype(np.uint8)
                          if args.no_argmax else fused)
             if evaluate:
@@ -226,6 +235,17 @@ def entry_func(args=None):
         n_classes=hparams["build"]["n_classes"],
         logger=logger,
     )
+    import jax
+
+    devices = jax.devices()
+    if args.num_devices:
+        devices = devices[: args.num_devices]
+    predictor.mesh = None
+    if len(devices) > 1:
+        from multiplanarunet_tpu.parallel import get_mesh
+
+        predictor.mesh = get_mesh(devices)
+        logger(f"View-parallel inference over {len(devices)} devices")
     run_predictions_and_eval(loader, predictor, views, fusion_params, args,
                              out_dir, hparams, logger)
     logger("Prediction complete.")

@@ -44,12 +44,16 @@ class MultiViewPredictor:
     volume bucket shape changes)."""
 
     def __init__(self, model, variables, sample_dim, real_space_span,
-                 n_classes, chunk=16, logger=None):
+                 n_classes, chunk=None, logger=None):
         self.model = model
         self.variables = variables
         self.dim = int(sample_dim)
         self.span = float(real_space_span)
         self.n_classes = int(n_classes)
+        if chunk is None:
+            # Plane batch per U-Net scan step: large enough to saturate the
+            # MXU, bounded so activations stay comfortably in HBM
+            chunk = 32 if self.dim <= 256 else 8
         self.chunk = int(chunk)
         self.logger = logger
         self._view_fn = None
