@@ -253,11 +253,10 @@ class MultiViewPredictor:
         o_step = np.float32(offsets[1] - offsets[0])
 
         def per_view(variables, volume, origin, spacing, rot, valid_shape,
-                     offs, basis, M, t, w_v, accum):
+                     offs, fill, basis, M, t, w_v, accum):
             stack = sample_plane_stack_packed(
                 volume, origin, spacing, rot, basis, offs, span, dim,
-                jnp.asarray(sampler.scaled_bg_value),
-                valid_shape=valid_shape,
+                fill, valid_shape=valid_shape,
             )
             planes = jnp.moveaxis(stack, 2, 0)
             chunks = planes.reshape(-1, chunk, dim, dim, planes.shape[-1])
@@ -275,13 +274,14 @@ class MultiViewPredictor:
             return accum + w_v * mapped
 
         def shard_fn(variables, volume, origin, spacing, rot, valid_shape,
-                     offs, bases_l, Ms_l, ts_l, ws_l):
+                     offs, fill, bases_l, Ms_l, ts_l, ws_l):
             accum = jnp.zeros(out_shape + (nc,), jnp.float32)
 
             def body(acc, xs):
                 basis, M, t, w_v = xs
                 return per_view(variables, volume, origin, spacing, rot,
-                                valid_shape, offs, basis, M, t, w_v, acc), None
+                                valid_shape, offs, fill, basis, M, t, w_v,
+                                acc), None
 
             accum, _ = jax.lax.scan(body, accum, (bases_l, Ms_l, ts_l, ws_l))
             return jax.lax.psum(accum, DATA_AXIS)
@@ -296,7 +296,7 @@ class MultiViewPredictor:
             sm_kwargs["check_vma"] = False
         sharded = jax.jit(shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
                       P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=P(),
             **sm_kwargs,
@@ -305,7 +305,8 @@ class MultiViewPredictor:
             self.variables, volume,
             jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
             sampler.device_rot(), jnp.asarray(sampler.valid_shape),
-            jnp.asarray(offsets), jnp.asarray(bases), jnp.asarray(Ms),
+            jnp.asarray(offsets), jnp.asarray(sampler.scaled_bg_value),
+            jnp.asarray(bases), jnp.asarray(Ms),
             jnp.asarray(ts), jnp.asarray(w),
         )
         if fusion_params is not None:
