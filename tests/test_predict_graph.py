@@ -210,3 +210,59 @@ def test_sharded_multichip_predict_matches_sequential(label_image):
                                    fusion_params=fusion_params,
                                    n_planes="same")
     np.testing.assert_array_equal(b, np.asarray(a))
+
+
+def _oracle_pair(tmp_path, affine, name):
+    rng = np.random.RandomState(0)
+    lab = np.zeros((SIZE, SIZE, SIZE), np.uint8)
+    lab[4:12, 4:12, 4:12] = 1
+    lab[14:20, 6:14, 8:16] = 2
+    lab[6:10, 14:20, 14:20] = 3
+    ip = tmp_path / name / "images" / "img.nii.gz"
+    lp = tmp_path / name / "labels" / "img.nii.gz"
+    ip.parent.mkdir(parents=True)
+    lp.parent.mkdir(parents=True)
+    nifti.save(lab.astype(np.float32), ip, affine=affine)
+    nifti.save(lab, lp, affine=affine)
+    pair = ImagePair(ip, lp)
+    pair.set_bg_value(0.0)
+    pair.set_scaler(None, compute_now=True)
+    pair.load()
+    return pair, lab
+
+
+def test_multi_view_predict_rotated_affine(tmp_path):
+    """End-to-end geometry under a ROTATED, anisotropic affine: sampling and
+    remap must agree so the oracle reconstruction still holds."""
+    R = geometry.rotation_matrix([0, 0, 1], angle_deg=25) @ \
+        geometry.rotation_matrix([1, 0, 0], angle_deg=10)
+    affine = np.eye(4)
+    affine[:3, :3] = R @ np.diag([1.0, 1.0, 1.0])
+    pair, lab = _oracle_pair(tmp_path, affine, "rot")
+    assert pair.interpolator.rot_mat is not None  # rotation path active
+
+    views = geometry.get_random_views(3, rng=np.random.RandomState(5))
+    pred = _predictor()
+    fused, _ = pred.predict_image(pair, views, n_planes="same+8",
+                                  return_per_view=False, return_probs=True)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    acc = (fused.argmax(-1) == lab)[interior].mean()
+    assert acc > 0.95, acc
+
+
+def test_multi_view_predict_flipped_affine(tmp_path):
+    """Negative-diagonal (LAS-style) affine: axis flips fold into the
+    alignment rotation; reconstruction must still hold."""
+    affine = np.diag([-1.0, 1.0, -1.0, 1.0])
+    pair, lab = _oracle_pair(tmp_path, affine, "flip")
+    assert pair.interpolator.rot_mat is not None
+
+    views = geometry.get_random_views(3, rng=np.random.RandomState(6))
+    pred = _predictor()
+    fused, _ = pred.predict_image(pair, views, n_planes="same+8",
+                                  return_per_view=False, return_probs=True)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    acc = (fused.argmax(-1) == lab)[interior].mean()
+    assert acc > 0.95, acc
