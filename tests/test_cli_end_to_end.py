@@ -198,3 +198,40 @@ def test_initialize_from_transfer(trained_project, tmp_path, workspace):
     finally:
         os.chdir(cwd)
     assert (proj2 / "model" / "model_weights.npz").exists()
+
+
+def test_just_one_no_val_and_aug_data(workspace, tmp_path):
+    """--just_one + --no_val flags, plus the aug_data merge path."""
+    proj = workspace / "proj3"
+    init_project.entry_func([
+        "--name", "proj3", "--root", str(workspace),
+        "--data_dir", str(workspace / "data"), "--overwrite",
+    ])
+    hp_path = proj / "train_hparams.yaml"
+    text = hp_path.read_text()
+    text = text.replace("complexity_factor: 2", "complexity_factor: 0.02")
+    text = text.replace("depth: 4", "depth: 2")
+    text = text.replace("views: 6", "views: 1")
+    text = text.replace("mixed_precision: True", "mixed_precision: False")
+    # Point aug_data at the val split with include: True
+    text = text.replace("  include: False", "  include: True")
+    text = text.replace(
+        f"  base_dir: {workspace / 'data'}/aug",
+        f"  base_dir: {workspace / 'data'}/val",
+    )
+    hp_path.write_text(text)
+    cwd = os.getcwd()
+    try:
+        train.entry_func([
+            "--project_dir", str(proj), "--overwrite", "--no_images",
+            "--just_one", "--no_val", "--epochs", "1",
+            "--train_images_per_epoch", "8", "--val_images_per_epoch", "4",
+        ])
+    finally:
+        os.chdir(cwd)
+    log = (proj / "logs" / "train.txt").read_text()
+    assert "Only running on first train & val samples" in log
+    assert "Adding augmented data with weight 0.33" in log
+    # no_val: no val metrics in the csv
+    csv = (proj / "logs" / "training.csv").read_text()
+    assert "val_dice" not in csv.splitlines()[0]
