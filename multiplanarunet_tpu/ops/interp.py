@@ -302,6 +302,29 @@ def sample_plane_batch_pool(pool, slots, origins, spacings, rots, bases,
     )
 
 
+@partial(jax.jit, static_argnames=("box_dim", "method"))
+def sample_box_batch_pool(pool, slots, origins, spacings, rots, corners,
+                          box_rots, real_box_dim, box_dim, fills,
+                          method="linear", valid_shapes=None):
+    """Sample B isotropic boxes from B (possibly different) pool slots in
+    one fused kernel (3D analogue of `sample_plane_batch_pool`).
+
+    corners: (B, 3); box_rots: (B, 3, 3). Returns (B, d, d, d, C)."""
+    def one(slot, origin, spacing, rot, corner, box_rot, fill, valid):
+        dtype = jnp.asarray(origin).dtype
+        axes = [jnp.linspace(corner[i], corner[i] + real_box_dim, box_dim,
+                             dtype=dtype) for i in range(3)]
+        pts = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        center = jnp.mean(pts.reshape(-1, 3), axis=0)
+        pts = (pts - center) @ box_rot.T + center
+        pts = pts @ rot.T
+        return grid_gather_pool(pool, slot, origin, spacing, pts,
+                                method=method, fill=fill, valid_shape=valid)
+
+    return jax.vmap(one)(slots, origins, spacings, rots, corners, box_rots,
+                         fills, valid_shapes)
+
+
 # ------------------------------------------------------- packed-corner path
 # TPU gathers cost per-GATHER, not per-byte (a row-of-8 gather is as fast as
 # a single-element gather). Pre-packing the 8 trilinear corner values of each

@@ -16,11 +16,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiplanarunet_tpu.ops import geometry
-from multiplanarunet_tpu.ops.interp import sample_box
+from multiplanarunet_tpu.ops.interp import sample_box, sample_box_batch_pool
 from multiplanarunet_tpu.sequences.multi_planar import (
     MAX_TRIES,
     IsotrophicLiveViewSequence,
 )
+
+
+@partial(jax.jit, static_argnames=("box_dim", "n_classes"))
+def _pool_candidate_boxes(label_pool, slots, origins, spacings, rots,
+                          corners, box_rots, real_box_dim, box_dim,
+                          bg_classes, n_classes, valid_shapes):
+    labs = sample_box_batch_pool(
+        label_pool, slots, origins, spacings, rots, corners, box_rots,
+        real_box_dim, box_dim, bg_classes[:, None], method="nearest",
+        valid_shapes=valid_shapes,
+    )[..., 0].astype(jnp.int32)
+    onehot = jax.nn.one_hot(labs, n_classes, dtype=jnp.bool_)
+    return labs, jnp.any(onehot, axis=(1, 2, 3))
 
 
 @partial(jax.jit, static_argnames=("box_dim", "n_classes"))
@@ -95,8 +108,78 @@ class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
         )
         return im, labs[j], has_fg_vec, has_fg_count
 
+    def _getitem_pooled(self, idx):
+        from multiplanarunet_tpu.sequences.multi_planar import (
+            IsotrophicLiveViewSequence2D,
+        )
+
+        pool = IsotrophicLiveViewSequence2D._get_pool(self)
+        B, K = self.batch_size, MAX_TRIES
+        slots, weights = [], []
+        draws_corners = np.empty((B * K, 3), np.float32)
+        draws_rots = np.empty((B * K, 3, 3), np.float32)
+        for b in range(B):
+            with self.image_pair_queue.get_random_image() as image:
+                slots.append(pool.ensure(image))
+                weights.append(image.sample_weight)
+                c, r = self._draw_candidates(image)
+                draws_corners[b * K:(b + 1) * K] = c
+                draws_rots[b * K:(b + 1) * K] = r
+        rep_slots = np.repeat(np.asarray(slots, np.int32), K)
+        params = pool.params_for(rep_slots)
+
+        labs, presence = _pool_candidate_boxes(
+            pool.labels, jnp.asarray(rep_slots),
+            jnp.asarray(params["origins"]), jnp.asarray(params["spacings"]),
+            jnp.asarray(params["rots"]), jnp.asarray(draws_corners),
+            jnp.asarray(draws_rots), self.real_box_dim, self.sample_dim,
+            jnp.asarray(params["bg_classes"]), self.n_classes,
+            jnp.asarray(params["valid_shapes"]),
+        )
+        presence_np = np.asarray(presence).reshape(B, K, self.n_classes)
+        has_fg_count = 0
+        has_fg_vec = np.zeros(len(self.fg_classes), bool)
+        chosen = np.empty(B, np.int64)
+        for b in range(B):
+            j, has_fg_vec, has_fg_count = self.select_candidate(
+                presence_np[b], has_fg_vec, has_fg_count, b
+            )
+            chosen[b] = b * K + j
+
+        chosen_params = pool.params_for(rep_slots[chosen])
+        batch_x = sample_box_batch_pool(
+            pool.volumes, jnp.asarray(rep_slots[chosen]),
+            jnp.asarray(chosen_params["origins"]),
+            jnp.asarray(chosen_params["spacings"]),
+            jnp.asarray(chosen_params["rots"]),
+            jnp.asarray(draws_corners[chosen]),
+            jnp.asarray(draws_rots[chosen]),
+            self.real_box_dim, self.sample_dim,
+            jnp.asarray(chosen_params["fills"]),
+            valid_shapes=jnp.asarray(chosen_params["valid_shapes"]),
+        )
+        batch_y = labs[jnp.asarray(chosen)]
+        batch_w = np.asarray(weights, np.float32)
+        batch_x, batch_y, batch_w = self.augment(
+            batch_x, batch_y, batch_w, chosen_params["fills"]
+        )
+        return self.prepare_batches(batch_x, batch_y, batch_w)
+
     def __getitem__(self, idx):
         self.seed()
+        if getattr(self, "use_pool", True) and not getattr(
+                self.image_pair_queue.dataset, "predict_mode", False):
+            try:
+                return self._getitem_pooled(idx)
+            except Exception:
+                if getattr(self, "_pool_failed", False):
+                    raise
+                self._pool_failed = True
+                self.logger.warn(
+                    "Pooled 3D batch sampling failed; falling back to the "
+                    "per-image path."
+                )
+                self.use_pool = False
         has_fg_count = 0
         has_fg_vec = np.zeros(len(self.fg_classes), bool)
         xs, ys, ws, bgs = [], [], [], []
