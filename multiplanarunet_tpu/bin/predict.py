@@ -126,12 +126,28 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         results, pc_results = lr.init_result_dicts(views, image_ids, n_classes)
 
     rng = np.random.RandomState(0)
+    todo = [i for i in image_ids if i not in already_done]
     for image_id in image_ids:
         if image_id in already_done:
             logger(f"Skipping {image_id} (already predicted)")
-            continue
-        image = loader.get_by_id(image_id)
-        with image.loaded_in_context():
+
+    # Overlap host nii decode of image i+1 with device inference of image i
+    from concurrent.futures import ThreadPoolExecutor
+
+    io_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _preload(idx):
+        if idx < len(todo):
+            img = loader.get_by_id(todo[idx])
+            img.load()
+            return img
+        return None
+
+    next_future = io_pool.submit(_preload, 0)
+    for i, image_id in enumerate(todo):
+        image = next_future.result()
+        next_future = io_pool.submit(_preload, i + 1)
+        try:
             logger(f"\n--- Predicting on {image_id} "
                    f"(shape {tuple(image.shape)}) ---")
             evaluate = (not args.no_eval and image.labels is not None
@@ -170,6 +186,9 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
             to_save = fused if args.no_argmax else fused_cls
             save_nii_files(to_save, image, nii_dir, args.save_input_files,
                            logger)
+        finally:
+            image.unload()
+    io_pool.shutdown(wait=False)
     if not args.no_eval:
         lr.save_all(results, pc_results, out_dir)
     return results
