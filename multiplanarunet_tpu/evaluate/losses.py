@@ -15,7 +15,6 @@ by XLA, and differentiable."""
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

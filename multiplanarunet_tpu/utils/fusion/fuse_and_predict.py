@@ -28,7 +28,6 @@ import numpy as np
 from multiplanarunet_tpu.ops import geometry
 from multiplanarunet_tpu.ops.interp import (
     map_view_pred_affine,
-    sample_plane_stack,
     sample_plane_stack_packed,
     scatter_box_pred,
 )
