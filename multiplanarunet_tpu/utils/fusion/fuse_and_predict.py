@@ -49,6 +49,15 @@ class MultiViewPredictor:
         self.dim = int(sample_dim)
         self.span = float(real_space_span)
         self.n_classes = int(n_classes)
+        depth = getattr(model, "depth", None)
+        if depth and self.dim % (2 ** depth):
+            raise ValueError(
+                f"sample_dim={self.dim} is not divisible by 2^depth="
+                f"{2 ** depth}: the U-Net would crop its output below the "
+                f"input size and the prediction remap would fail. Use a dim "
+                f"divisible by {2 ** depth} (the Auditor picks 16-divisible "
+                f"dims automatically)."
+            )
         if chunk is None:
             # Plane batch per U-Net scan step: large enough to saturate the
             # MXU, bounded so activations stay comfortably in HBM

@@ -266,3 +266,45 @@ def test_multi_view_predict_flipped_affine(tmp_path):
     interior[2:-2, 2:-2, 2:-2] = True
     acc = (fused.argmax(-1) == lab)[interior].mean()
     assert acc > 0.95, acc
+
+
+def test_non_cubic_volume_predict(tmp_path):
+    """Fused predict over a non-cubic volume (unequal bucket padding per
+    axis): remap out_shape and slab scanning must handle it."""
+    rng = np.random.RandomState(4)
+    lab = np.zeros((24, 36, 28), np.uint8)
+    lab[4:12, 8:20, 6:16] = 1
+    lab[14:20, 22:32, 16:24] = 2
+    affine = np.diag([1.0, 0.8, 1.2, 1.0])
+    ip = tmp_path / "images" / "img.nii.gz"
+    lp = tmp_path / "labels" / "img.nii.gz"
+    ip.parent.mkdir()
+    lp.parent.mkdir()
+    nifti.save(lab.astype(np.float32), ip, affine=affine)
+    nifti.save(lab, lp, affine=affine)
+    pair = ImagePair(ip, lp)
+    pair.set_bg_value(0.0)
+    pair.set_scaler(None, compute_now=True)
+    pair.load()
+
+    pred = MultiViewPredictor(
+        OneHotOracle(n_classes=3), {"params": {}}, sample_dim=32,
+        real_space_span=36.0, n_classes=3, chunk=4,
+    )
+    views = geometry.get_random_views(3, rng=np.random.RandomState(9))
+    fused, _ = pred.predict_image(pair, views, n_planes="same+8",
+                                  return_per_view=False, return_probs=True)
+    assert fused.shape == lab.shape + (3,)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    acc = (fused.argmax(-1) == np.minimum(lab, 2))[interior].mean()
+    assert acc > 0.9, acc
+
+
+def test_predictor_rejects_uncroppable_dim():
+    from multiplanarunet_tpu.models import UNet
+
+    model = UNet(n_classes=2, dim=30, depth=2, init_filters=4)
+    with pytest.raises(ValueError, match="divisible"):
+        MultiViewPredictor(model, {}, sample_dim=30, real_space_span=30.0,
+                           n_classes=2)
