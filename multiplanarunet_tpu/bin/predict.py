@@ -42,6 +42,11 @@ def get_argparser():
                         help="Evaluate only this fraction of images")
     parser.add_argument("--on_val", action="store_true",
                         help="Predict on the validation set instead of test")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="Predict on an arbitrary hparams data group, "
+                             "e.g. 'train' (overrides --on_val)")
+    parser.add_argument("--wait_for", type=str, default="",
+                        help="Wait for these PIDs before starting")
     parser.add_argument("--continue", action="store_true", dest="continue_",
                         help="Skip images already predicted in out_dir")
     parser.add_argument("--save_input_files", action="store_true",
@@ -77,7 +82,11 @@ def get_image_pair_loader(args, hparams, out_dir, logger):
                                  initialize_empty=True, logger=logger)
         loader.add_image(ImagePair(args.f, args.l or None, logger=logger))
         return loader, bool(args.l)
-    group = "val_data" if args.on_val else "test_data"
+    if args.dataset:
+        group = args.dataset if args.dataset.endswith("_data") \
+            else f"{args.dataset}_data"
+    else:
+        group = "val_data" if args.on_val else "test_data"
     predict_mode = args.no_eval
     loader = ImagePairLoader(logger=logger, predict_mode=predict_mode,
                              **hparams[group])
@@ -196,6 +205,10 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
 
 def entry_func(args=None):
     args = get_argparser().parse_args(args)
+    if args.wait_for:
+        from multiplanarunet_tpu.utils.utils import await_PIDs
+
+        await_PIDs(args.wait_for)
     project_dir = os.path.abspath(args.project_dir)
     out_dir = os.path.abspath(os.path.join(project_dir, args.out_dir))
     validate_folders(project_dir, out_dir, args.overwrite, args.continue_)
