@@ -33,6 +33,14 @@ def get_argparser():
     parser.add_argument("--no_eval", action="store_true")
     parser.add_argument("--on_val", action="store_true")
     parser.add_argument("--save_input_files", action="store_true")
+    parser.add_argument("--save_only_pred", action="store_true",
+                        help="Save only the PRED file (no IMAGE/LABELS)")
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="Predict on all images of this folder instead "
+                             "of the configured test set")
+    parser.add_argument("--strides", type=int, default=None,
+                        help="Stride for sliding-window patch mode")
+    parser.add_argument("--wait_for", type=str, default="")
     return parser
 
 
@@ -66,11 +74,20 @@ def entry_func(args=None):
                           logger=logger, no_version_control=True)
     n_classes = hparams["build"]["n_classes"]
 
+    if args.wait_for:
+        from multiplanarunet_tpu.utils.utils import await_PIDs
+
+        await_PIDs(args.wait_for)
     # Data
     if args.f:
         loader = ImagePairLoader(predict_mode=not args.l,
                                  initialize_empty=True, logger=logger)
         loader.add_image(ImagePair(args.f, args.l or None, logger=logger))
+    elif args.data_dir:
+        loader = ImagePairLoader(base_dir=args.data_dir, logger=logger,
+                                 predict_mode=args.no_eval,
+                                 img_subdir=hparams["test_data"]["img_subdir"],
+                                 label_subdir=hparams["test_data"]["label_subdir"])
     else:
         group = "val_data" if args.on_val else "test_data"
         loader = ImagePairLoader(logger=logger, predict_mode=args.no_eval,
@@ -98,6 +115,10 @@ def entry_func(args=None):
     )
 
     # Sequence (inference mode)
+    fit_kwargs = dict(hparams["fit"])
+    if args.strides:
+        fit_kwargs["intrp_style"] = "sliding_patches_3d"
+        fit_kwargs["strides"] = args.strides
     seq = get_sequence(
         data_queue=loader,
         is_validation=True,
@@ -105,10 +126,9 @@ def entry_func(args=None):
         dim=hparams["build"]["dim"],
         n_classes=n_classes,
         no_log=True,
-        **hparams["fit"],
+        **fit_kwargs,
     )
-    iso_mode = hparams["fit"]["intrp_style"].lower() == "iso_live_3d"
-
+    iso_mode = fit_kwargs["intrp_style"].lower() == "iso_live_3d"
     image_ids = sorted(loader.id_to_image)
     results, detailed = lr.init_result_dict_3D(image_ids, n_classes)
     nii_dir = os.path.join(out_dir, "nii_files")
@@ -137,7 +157,7 @@ def entry_func(args=None):
             img_out.mkdir(parents=True, exist_ok=True)
             nifti.save(pred_cls, img_out / "PRED.nii.gz",
                        affine=image.affine)
-            if args.save_input_files:
+            if args.save_input_files and not args.save_only_pred:
                 nifti.save(image.image.squeeze().astype(np.float32),
                            img_out / "IMAGE.nii.gz", affine=image.affine)
                 if image.labels is not None:

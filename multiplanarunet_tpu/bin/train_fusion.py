@@ -36,6 +36,11 @@ def get_argparser():
     parser.add_argument("--dice_weight", type=str, default="Simple",
                         help="GDL weight type: Simple/Square/Uniform")
     parser.add_argument("--n_planes", type=str, default="same+20")
+    parser.add_argument("--continue_training", action="store_true",
+                        help="Resume fusion training from saved fusion "
+                             "weights")
+    parser.add_argument("--eval_prob", type=float, default=1.0)
+    parser.add_argument("--wait_for", type=str, default="")
     return parser
 
 
@@ -117,6 +122,10 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
 
 def entry_func(args=None):
     args = get_argparser().parse_args(args)
+    if args.wait_for:
+        from multiplanarunet_tpu.utils.utils import await_PIDs
+
+        await_PIDs(args.wait_for)
     project_dir = os.path.abspath(args.project_dir)
     os.chdir(project_dir)
 
@@ -145,8 +154,9 @@ def entry_func(args=None):
     fusion_dir = Path(project_dir) / "model" / "fusion_weights"
     fusion_dir.mkdir(parents=True, exist_ok=True)
     fusion_out = fusion_dir / f"{weights_name}_fusion_weights.npz"
-    if fusion_out.exists() and not args.overwrite:
-        raise RuntimeError(f"{fusion_out} exists; pass --overwrite")
+    if fusion_out.exists() and not (args.overwrite or args.continue_training):
+        raise RuntimeError(f"{fusion_out} exists; pass --overwrite or "
+                           f"--continue_training")
 
     # Unet with best weights
     model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
@@ -183,6 +193,9 @@ def entry_func(args=None):
         im.set_scaler(hparams.get_from_anywhere("scaler"))
 
     fusion_params = None
+    if args.continue_training and fusion_out.exists():
+        fusion_params, _, _ = ckpt.load_weights(fusion_out)
+        logger(f"Resuming fusion training from {fusion_out}")
     n_rounds = -(-len(images) // args.images_per_round)
     for rnd in range(n_rounds):
         batch = images[rnd * args.images_per_round:
