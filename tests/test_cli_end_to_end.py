@@ -235,3 +235,26 @@ def test_just_one_no_val_and_aug_data(workspace, tmp_path):
     # no_val: no val metrics in the csv
     csv = (proj / "logs" / "training.csv").read_text()
     assert "val_dice" not in csv.splitlines()[0]
+
+
+def test_predict_single_file_mode(trained_project, workspace):
+    """-f/-l single-image prediction writes a PRED file and evaluates."""
+    img = sorted((workspace / "data/test/images").glob("*.nii.gz"))[0]
+    lab = workspace / "data/test/labels" / img.name
+    cwd = os.getcwd()
+    try:
+        predict.entry_func([
+            "--project_dir", str(trained_project), "--out_dir", "single_out",
+            "-f", str(img), "-l", str(lab), "--sum_fusion", "--overwrite",
+            "--n_planes", "same",
+        ])
+    finally:
+        os.chdir(cwd)
+    out = trained_project / "single_out" / "nii_files"
+    preds = list(out.rglob("PRED.nii.gz"))
+    assert len(preds) == 1
+    from multiplanarunet_tpu.io import nifti
+
+    pred = nifti.load(preds[0]).get_raw_data()
+    assert pred.shape == (32, 32, 32)
+    assert (trained_project / "single_out" / "csv" / "results.csv").exists()

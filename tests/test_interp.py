@@ -276,3 +276,26 @@ def test_packed_gather_matches_unpacked():
         valid_shape=jnp.asarray(np.array(vol.shape[:3], np.int32)),
     ))
     np.testing.assert_allclose(got_pad, want, atol=1e-5)
+
+
+def test_pool_gather_matches_direct():
+    """grid_gather_pool on a slot == grid_gather on that volume (both
+    methods), including out-of-bounds fill."""
+    rng = np.random.RandomState(12)
+    vols = [make_volume(rng, shape=(8, 8, 8), C=2) for _ in range(3)]
+    pool = jnp.asarray(np.stack(vols))
+    spacing = np.array([1.0, 0.5, 2.0], np.float32)
+    origin = -np.array([3.5, 1.75, 7.0], np.float32)
+    pts = (rng.rand(100, 3) * 10 - 5).astype(np.float32)
+    fill = np.array([5.0, -2.0], np.float32)
+    for slot in range(3):
+        for method in ("linear", "nearest"):
+            want = np.asarray(interp.grid_gather(
+                vols[slot], origin, spacing, pts, method=method, fill=fill
+            ))
+            got = np.asarray(interp.grid_gather_pool(
+                pool, jnp.asarray(slot), origin, spacing, pts,
+                method=method, fill=fill,
+                valid_shape=jnp.asarray(np.array([8, 8, 8], np.int32)),
+            ))
+            np.testing.assert_allclose(got, want, atol=1e-6)
