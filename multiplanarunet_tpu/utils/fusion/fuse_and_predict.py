@@ -116,6 +116,26 @@ class MultiViewPredictor:
         return predict_view
 
     # -------------------------------------------------------------- running
+    def _prepare_offsets(self, image, n_planes):
+        """(chunk-padded offsets, n_valid) for an n_planes spec."""
+        offsets = self._plane_offsets(image, n_planes)
+        n_valid = len(offsets)
+        P_pad = _pad_planes(n_valid, self.chunk)
+        if P_pad != n_valid:
+            step = offsets[1] - offsets[0]
+            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
+            offsets = np.concatenate([offsets, extra]).astype(np.float32)
+        return offsets, n_valid
+
+    @staticmethod
+    def _remap_transform(image, basis, true_shape):
+        """(M, t) taking voxel INDEX -> plane coords for one view basis."""
+        A = np.asarray(image.affine, np.float64)[:3, :3]
+        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+        inv_basis = np.linalg.inv(basis.astype(np.float64))
+        return ((inv_basis @ A).astype(np.float32),
+                (-inv_basis @ center).astype(np.float32))
+
     def predict_image(self, image, views, fusion_params=None,
                       n_planes="same+20", return_per_view=True,
                       return_probs=False):
@@ -134,17 +154,7 @@ class MultiViewPredictor:
         true_shape = tuple(int(s) for s in image.shape[:3])
 
         # Plane offsets (per-image: by_radius varies, same+N fixed)
-        offsets = self._plane_offsets(image, n_planes)
-        n_valid = len(offsets)
-        P_pad = _pad_planes(n_valid, self.chunk)
-        if P_pad != n_valid:
-            step = offsets[1] - offsets[0]
-            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
-            offsets = np.concatenate([offsets, extra]).astype(np.float32)
-
-        # Affine index->real transform (true shape defines the center)
-        A = np.asarray(image.affine, np.float64)[:3, :3]
-        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+        offsets, n_valid = self._prepare_offsets(image, n_planes)
 
         accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
         per_view = [] if return_per_view else None
@@ -159,9 +169,7 @@ class MultiViewPredictor:
 
         for v, view in enumerate(views):
             basis = geometry.plane_basis(view, noise_sd=0.0)
-            inv_basis = np.linalg.inv(basis.astype(np.float64))
-            M = (inv_basis @ A).astype(np.float32)
-            t = (-inv_basis @ center).astype(np.float32)
+            M, t = self._remap_transform(image, basis, true_shape)
             w_v = (jnp.asarray(W[v]) if W is not None
                    else jnp.ones((self.n_classes,), jnp.float32))
             if self.logger:
@@ -225,16 +233,7 @@ class MultiViewPredictor:
         out_shape = tuple(int(s) for s in volume.shape[:3])
         true_shape = tuple(int(s) for s in image.shape[:3])
 
-        offsets = self._plane_offsets(image, n_planes)
-        n_valid = len(offsets)
-        P_pad = _pad_planes(n_valid, self.chunk)
-        if P_pad != n_valid:
-            step = offsets[1] - offsets[0]
-            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
-            offsets = np.concatenate([offsets, extra]).astype(np.float32)
-
-        A = np.asarray(image.affine, np.float64)[:3, :3]
-        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+        offsets, n_valid = self._prepare_offsets(image, n_planes)
 
         n_views = len(views)
         V_pad = -(-n_views // n_dev) * n_dev
@@ -247,10 +246,8 @@ class MultiViewPredictor:
              else np.ones((n_views, self.n_classes), np.float32))
         for v, view in enumerate(views):
             basis = geometry.plane_basis(view, noise_sd=0.0)
-            inv_basis = np.linalg.inv(basis.astype(np.float64))
             bases[v] = basis
-            Ms[v] = (inv_basis @ A).astype(np.float32)
-            ts[v] = (-inv_basis @ center).astype(np.float32)
+            Ms[v], ts[v] = self._remap_transform(image, basis, true_shape)
             w[v] = W[v]
 
         model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
@@ -336,22 +333,12 @@ class MultiViewPredictor:
         volume = sampler.device_volume_packed()
         out_shape = tuple(int(s) for s in volume.shape[:3])
         true_shape = tuple(int(s) for s in image.shape[:3])
-        offsets = self._plane_offsets(image, n_planes)
-        n_valid = len(offsets)
-        P_pad = _pad_planes(n_valid, self.chunk)
-        if P_pad != n_valid:
-            step = offsets[1] - offsets[0]
-            extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
-            offsets = np.concatenate([offsets, extra]).astype(np.float32)
-        A = np.asarray(image.affine, np.float64)[:3, :3]
-        center = A @ ((np.asarray(true_shape) - 1) / 2.0)
+        offsets, n_valid = self._prepare_offsets(image, n_planes)
         out = np.empty((len(views),) + true_shape + (self.n_classes,),
                        np.float32)
         for v, view in enumerate(views):
             basis = geometry.plane_basis(view, noise_sd=0.0)
-            inv_basis = np.linalg.inv(basis.astype(np.float64))
-            M = (inv_basis @ A).astype(np.float32)
-            t = (-inv_basis @ center).astype(np.float32)
+            M, t = self._remap_transform(image, basis, true_shape)
             accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
             _, mapped = self._view_fn(
                 self.variables, volume,
