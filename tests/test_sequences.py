@@ -203,3 +203,19 @@ def test_pool_slot_reuse(toy_queue):
     seq[0]
     # Same eager dataset: slots reused, not re-staged
     assert len(pool._slot_of) == n_before or len(pool._slot_of) <= pool.capacity
+
+
+def test_smooth_field_matches_scipy():
+    """The separable truncated-gaussian blur must match
+    scipy.ndimage.gaussian_filter(mode='constant') — the reference's
+    displacement-field smoother."""
+    from scipy.ndimage import gaussian_filter
+
+    from multiplanarunet_tpu.ops.elastic import smooth_field
+
+    rng = np.random.RandomState(0)
+    field = rng.rand(48, 48).astype(np.float32) * 2 - 1
+    for sigma in (3.0, 7.5):
+        want = gaussian_filter(field, sigma, mode="constant", cval=0.0)
+        got = np.asarray(smooth_field(jnp.asarray(field), sigma, radius=40))
+        np.testing.assert_allclose(got, want, atol=2e-4)
