@@ -170,3 +170,60 @@ def test_rotation_matrix_matches(ref_modules):
             ref_linalg.get_rotation_matrix(axis, angle_deg=angle),
             atol=1e-12,
         )
+
+
+def test_full_training_slice_parity(ref_modules):
+    """Whole-pipeline slice parity: the reference's ViewInterpolator sampling
+    a plane grid vs this framework's on-device gather on the same volume,
+    basis and offset — including a ROTATED anisotropic affine, per-channel
+    background fills and nearest-label semantics."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.ops import geometry, interp
+
+    vi_mod = importlib.import_module("mpunet.interpolation.view_interpolator")
+    sg = importlib.import_module("mpunet.interpolation.sample_grid")
+
+    rng = np.random.RandomState(3)
+    image = rng.rand(20, 24, 18, 2).astype(np.float32)
+    labels = rng.randint(0, 4, (20, 24, 18)).astype(np.uint8)
+    R = geometry.rotation_matrix([0, 1, 1], angle_deg=15)
+    affine = np.eye(4)
+    affine[:3, :3] = R @ np.diag([1.0, 0.8, 1.3])
+
+    ref_interp = vi_mod.ViewInterpolator(
+        image, labels, affine=affine, bg_value=[2.5, -1.0], bg_class=0
+    )
+
+    origin, spacing, rot = geometry.voxel_axes_origin_spacing(
+        image.shape, affine
+    )
+    rot = np.eye(3, dtype=np.float32) if rot is None else rot
+
+    for view in ([0.2, -0.5, 0.9], [0.9, 0.1, 0.3], [0.0, 0.0, 1.0]):
+        grid = sg.sample_plane_at(
+            norm_vector=np.asarray(view, np.float64), sample_dim=16,
+            real_space_span=20.0, offset_from_center=2.0,
+            noise_sd=np.zeros(3), test_mode=False,
+        )
+        ref_im = ref_interp.intrp_image(grid)
+        ref_lab = ref_interp.intrp_labels(grid)
+
+        basis = geometry.plane_basis(view, noise_sd=np.zeros(3))
+        got_im = np.asarray(interp.sample_plane(
+            jnp.asarray(image), origin, spacing, jnp.asarray(rot),
+            jnp.asarray(basis), 2.0, 20.0, 16,
+            jnp.asarray([2.5, -1.0], jnp.float32),
+        ))
+        got_lab = np.asarray(interp.sample_plane(
+            jnp.asarray(labels[..., None].astype(np.float32)), origin,
+            spacing, jnp.asarray(rot), jnp.asarray(basis), 2.0, 20.0, 16,
+            jnp.asarray([0.0]), method="nearest",
+        ))[..., 0].astype(np.uint8)
+
+        np.testing.assert_allclose(got_im, ref_im, atol=2e-4)
+        # Nearest labels: allow a tiny fraction of half-voxel tie flips
+        mismatch = (got_lab != ref_lab).mean()
+        assert mismatch < 0.005, mismatch
