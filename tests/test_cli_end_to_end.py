@@ -258,3 +258,42 @@ def test_predict_single_file_mode(trained_project, workspace):
     pred = nifti.load(preds[0]).get_raw_data()
     assert pred.shape == (32, 32, 32)
     assert (trained_project / "single_out" / "csv" / "results.csv").exists()
+
+
+def test_multichannel_pipeline(tmp_path_factory):
+    """2-channel volumes through train + predict (scalers, per-channel bg
+    fills, pool and predictor all see C=2)."""
+    ws = tmp_path_factory.mktemp("mc")
+    toy_data.entry_func([
+        "--out_dir", str(ws / "data"), "--N_train", "2", "--N_val", "1",
+        "--N_test", "1", "--image_size", "32", "--N_channels", "2",
+        "--seed", "3",
+    ])
+    init_project.entry_func([
+        "--name", "proj", "--root", str(ws), "--data_dir", str(ws / "data"),
+    ])
+    proj = ws / "proj"
+    text = (proj / "train_hparams.yaml").read_text()
+    text = text.replace("complexity_factor: 2", "complexity_factor: 0.02")
+    text = text.replace("depth: 4", "depth: 2")
+    text = text.replace("views: 6", "views: 1")
+    text = text.replace("mixed_precision: True", "mixed_precision: False")
+    (proj / "train_hparams.yaml").write_text(text)
+    cwd = os.getcwd()
+    try:
+        train.entry_func([
+            "--project_dir", str(proj), "--overwrite", "--no_images",
+            "--epochs", "1", "--train_images_per_epoch", "8",
+            "--val_images_per_epoch", "4",
+        ])
+        predict.entry_func([
+            "--project_dir", str(proj), "--out_dir", "pred", "--sum_fusion",
+            "--overwrite", "--n_planes", "same",
+        ])
+    finally:
+        os.chdir(cwd)
+    import yaml as _yaml
+
+    hp = _yaml.safe_load((proj / "train_hparams.yaml").read_text())
+    assert hp["build"]["n_channels"] == 2
+    assert (proj / "pred" / "csv" / "results.csv").exists()
