@@ -29,6 +29,9 @@ def get_argparser():
     parser.add_argument("--image_size", type=int, default=64)
     parser.add_argument("--N_channels", type=int, default=1)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--pixdim", type=str, default="1,1,1",
+                        help="Comma-separated voxel sizes (mm), e.g. "
+                             "'1,0.7,1.3' for anisotropic volumes")
     return parser
 
 
@@ -103,11 +106,12 @@ def create_toy_image(size=64, n_channels=1, rng=None):
     return image.astype(np.float32), labels.astype(np.uint8)
 
 
-def create_dataset(out_dir, n_images, size, n_channels, rng, prefix):
+def create_dataset(out_dir, n_images, size, n_channels, rng, prefix,
+                   pixdim=(1.0, 1.0, 1.0)):
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     (out_dir / "labels").mkdir(parents=True, exist_ok=True)
-    affine = np.eye(4)
+    affine = np.diag(list(pixdim) + [1.0])
     for i in range(n_images):
         image, labels = create_toy_image(size, n_channels, rng)
         name = f"{prefix}_{i:03d}.nii.gz"
@@ -119,11 +123,13 @@ def entry_func(args=None):
     args = get_argparser().parse_args(args)
     rng = np.random.RandomState(args.seed)
     out = Path(args.out_dir)
+    pixdim = tuple(float(p) for p in args.pixdim.split(","))
     for split, n in (("train", args.N_train), ("val", args.N_val),
                      ("test", args.N_test)):
-        print(f"Creating {n} '{split}' images of size {args.image_size}...")
+        print(f"Creating {n} '{split}' images of size {args.image_size} "
+              f"(pixdim {pixdim})...")
         create_dataset(out / split, n, args.image_size, args.N_channels,
-                       rng, prefix=split)
+                       rng, prefix=split, pixdim=pixdim)
     print(f"Toy data written to {out}")
 
 
