@@ -431,9 +431,10 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
     ])
 
     # Scan over X-slabs so only one slab's coordinate grid is live at a time
-    # (at 512^3 the full (X, Y, Z, 3) grid alone is 1.6 GB)
+    # (at 512^3 the full (X, Y, Z, 3) grid alone is 1.6 GB). A single pass is
+    # both fastest and affordable up to ~256^3 (<= 200 MB of coordinates).
     if x_slab is None:
-        x_slab = X if X * Y * Z <= 64 ** 3 else max(32, X // 16)
+        x_slab = X if X * Y * Z <= 256 ** 3 else max(32, X // 16)
     if X % x_slab:
         x_slab = X  # fall back to single pass for odd shapes
     n_slabs = X // x_slab
