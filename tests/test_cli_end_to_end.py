@@ -297,3 +297,22 @@ def test_multichannel_pipeline(tmp_path_factory):
     hp = _yaml.safe_load((proj / "train_hparams.yaml").read_text())
     assert hp["build"]["n_channels"] == 2
     assert (proj / "pred" / "csv" / "results.csv").exists()
+
+
+def test_predict_no_eval_multidevice_path(trained_project):
+    """--no_eval on the 8-device CPU mesh exercises the CLI's view-parallel
+    branch (views sharded over the mesh)."""
+    cwd = os.getcwd()
+    try:
+        predict.entry_func([
+            "--project_dir", str(trained_project), "--out_dir",
+            "pred_sharded", "--sum_fusion", "--no_eval", "--overwrite",
+            "--n_planes", "same",
+        ])
+    finally:
+        os.chdir(cwd)
+    out = trained_project / "pred_sharded"
+    preds = list((out / "nii_files").rglob("PRED.nii.gz"))
+    assert len(preds) == 2
+    log = (out / "predict_log.txt").read_text()
+    assert "View-parallel inference over 8 devices" in log
