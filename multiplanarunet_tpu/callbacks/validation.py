@@ -38,15 +38,26 @@ class Validation(Callback):
         rel = np.zeros(n_classes)
         sel = np.zeros(n_classes)
         batch_logs = []
-        for i in range(self.steps):
-            X, y, w = self.sequence[i]
-            step_logs, (btp, brel, bsel) = trainer.eval_step(
-                trainer.state.params, trainer.state.batch_stats, X, y, w
-            )
-            batch_logs.append({k: float(v) for k, v in step_logs.items()})
-            tp += np.asarray(btp)
-            rel += np.asarray(brel)
-            sel += np.asarray(bsel)
+        # One-deep batch prefetch (sampling overlaps the device eval step)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            future = prefetcher.submit(self.sequence.__getitem__, 0)
+            for i in range(self.steps):
+                X, y, w = future.result()
+                if i + 1 < self.steps:
+                    future = prefetcher.submit(
+                        self.sequence.__getitem__, i + 1
+                    )
+                step_logs, (btp, brel, bsel) = trainer.eval_step(
+                    trainer.state.params, trainer.state.batch_stats, X, y, w
+                )
+                batch_logs.append(
+                    {k: float(v) for k, v in step_logs.items()}
+                )
+                tp += np.asarray(btp)
+                rel += np.asarray(brel)
+                sel += np.asarray(bsel)
 
         for key in batch_logs[0]:
             logs[f"val_{key}"] = float(np.mean([b[key] for b in batch_logs]))
