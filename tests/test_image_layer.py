@@ -217,3 +217,59 @@ def test_get_data_queues_fallback(toy_dataset):
     # max_loaded=None -> limitation falls back to eager
     assert isinstance(tq, EagerQueue)
     assert isinstance(vq, EagerQueue)
+
+
+def test_loading_pool_recovers_from_corrupt_file(toy_dataset, tmp_path):
+    """A corrupt nii in a LimitationQueue triggers the error callback and a
+    replacement load (the reference's failure-recovery behavior)."""
+    import shutil
+
+    root = tmp_path / "corrupt_ds"
+    shutil.copytree(toy_dataset / "train", root)
+    # Corrupt one image file (truncate)
+    victim = sorted((root / "images").glob("*.nii.gz"))[0]
+    victim.write_bytes(b"not a nifti")
+
+    # Loader construction must fail on the corrupt header...
+    with pytest.raises(Exception):
+        ImagePairLoader(base_dir=root, no_log=True)
+
+    # ...so corrupt DATA (valid header, truncated payload) is the real case:
+    shutil.copytree(toy_dataset / "train", root, dirs_exist_ok=True)
+    good = victim.read_bytes if False else None
+    orig = sorted((toy_dataset / "train" / "images").glob("*.nii.gz"))[0]
+    raw = orig.read_bytes()
+    import gzip as _gz
+
+    payload = _gz.decompress(raw)
+    victim.write_bytes(_gz.compress(payload[:400]))  # header ok, data cut
+
+    loader = ImagePairLoader(base_dir=root, no_log=True)
+    loader.set_scaler_and_bg_values(bg_value=1.0, scaler="StandardScaler",
+                                    compute_now=False)
+    q = LimitationQueue(loader, max_loaded=2, num_access_before_reload=3,
+                        preload_now=True, await_preload=True,
+                        n_load_jobs=2, logger=ScreenLogger(False))
+    # Despite one corrupt image, accesses keep being served
+    served = 0
+    for _ in range(10):
+        with q.get_random_image() as img:
+            assert img.is_loaded
+            served += 1
+    assert served == 10
+
+
+def test_trainer_rejects_non_sparse_loss():
+    import jax
+
+    from multiplanarunet_tpu.errors import NotSparseError
+    from multiplanarunet_tpu.models import UNet, init_model_variables
+    from multiplanarunet_tpu.parallel import get_mesh
+    from multiplanarunet_tpu.train import Trainer
+
+    model = UNet(n_classes=2, dim=16, depth=1, init_filters=4)
+    variables = init_model_variables(model)
+    trainer = Trainer(model, variables, logger=ScreenLogger(False),
+                      mesh=get_mesh(jax.devices()[:1]))
+    with pytest.raises(NotSparseError):
+        trainer.compile_model(optimizer="Adam", loss="DiceLoss", metrics=[])
