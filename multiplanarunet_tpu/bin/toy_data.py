@@ -32,6 +32,10 @@ def get_argparser():
     parser.add_argument("--pixdim", type=str, default="1,1,1",
                         help="Comma-separated voxel sizes (mm), e.g. "
                              "'1,0.7,1.3' for anisotropic volumes")
+    parser.add_argument("--vary_size", action="store_true",
+                        help="Draw each subject's shape independently per "
+                             "axis in [0.75, 1.25] x image_size (realistic "
+                             "per-subject shape variation)")
     return parser
 
 
@@ -59,18 +63,22 @@ def _torus_mask(xx, yy, zz, center, R, r):
     return (ring ** 2 + dz ** 2) <= r ** 2
 
 
-def create_toy_image(size=64, n_channels=1, rng=None):
+def create_toy_image(size=64, n_channels=1, rng=None, shape=None):
     """One synthetic (image, labels) volume pair.
 
     Labels: 0 background, 1 sphere, 2 cube, 3 torus. Image intensity is a
     smoothed, noisy function of the label map with per-structure contrast, so
     a segmentation model has real signal to learn."""
     rng = rng or np.random.RandomState()
-    xx, yy, zz = _coords(size)
-    labels = np.zeros((size, size, size), np.uint8)
+    shape = tuple(int(s) for s in (shape or (size, size, size)))
+    ax = [np.arange(n, dtype=np.float32) for n in shape]
+    xx, yy, zz = np.meshgrid(*ax, indexing="ij")
+    labels = np.zeros(shape, np.uint8)
 
     def rand_center(margin):
-        return rng.uniform(margin, size - margin, size=3)
+        return np.array([
+            rng.uniform(margin, n - margin) for n in shape
+        ])
 
     s = size / 64.0  # scale structure sizes with the volume
     sphere_r = rng.uniform(6, 10) * s
@@ -88,14 +96,14 @@ def create_toy_image(size=64, n_channels=1, rng=None):
         for _ in range(3)
     ]
     warped_idx = [
-        np.clip(g + d, 0, size - 1).astype(np.int32)
-        for g, d in zip((xx, yy, zz), disp)
+        np.clip(g + d, 0, n - 1).astype(np.int32)
+        for g, d, n in zip((xx, yy, zz), disp, shape)
     ]
     labels = labels[warped_idx[0], warped_idx[1], warped_idx[2]]
 
     contrasts = np.array([0.0, 1.0, 1.6, 2.4], np.float32)
     base = contrasts[labels]
-    image = np.empty((size, size, size, n_channels), np.float32)
+    image = np.empty(shape + (n_channels,), np.float32)
     for c in range(n_channels):
         chan = base * rng.uniform(0.8, 1.2) + rng.normal(
             scale=0.35, size=base.shape
@@ -107,13 +115,18 @@ def create_toy_image(size=64, n_channels=1, rng=None):
 
 
 def create_dataset(out_dir, n_images, size, n_channels, rng, prefix,
-                   pixdim=(1.0, 1.0, 1.0)):
+                   pixdim=(1.0, 1.0, 1.0), vary_size=False):
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     (out_dir / "labels").mkdir(parents=True, exist_ok=True)
     affine = np.diag(list(pixdim) + [1.0])
     for i in range(n_images):
-        image, labels = create_toy_image(size, n_channels, rng)
+        shape = None
+        if vary_size:
+            shape = tuple(
+                int(rng.uniform(0.75, 1.25) * size) for _ in range(3)
+            )
+        image, labels = create_toy_image(size, n_channels, rng, shape=shape)
         name = f"{prefix}_{i:03d}.nii.gz"
         nifti.save(image, out_dir / "images" / name, affine=affine)
         nifti.save(labels, out_dir / "labels" / name, affine=affine)
@@ -129,7 +142,8 @@ def entry_func(args=None):
         print(f"Creating {n} '{split}' images of size {args.image_size} "
               f"(pixdim {pixdim})...")
         create_dataset(out / split, n, args.image_size, args.N_channels,
-                       rng, prefix=split, pixdim=pixdim)
+                       rng, prefix=split, pixdim=pixdim,
+                       vary_size=args.vary_size)
     print(f"Toy data written to {out}")
 
 
