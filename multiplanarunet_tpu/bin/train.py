@@ -52,6 +52,11 @@ def get_argparser():
     parser.add_argument("--epochs", type=int, default=None,
                         help="Override the configured number of epochs")
     parser.add_argument("--num_access", type=int, default=50)
+    parser.add_argument("--debug", action="store_true",
+                        help="Enable numerical debugging: jax_debug_nans "
+                             "raises on the first NaN-producing op "
+                             "(the reference wraps the tf session in tfdbg, "
+                             "mpunet/bin/train.py:361-363)")
     return parser
 
 
@@ -162,6 +167,11 @@ def run(project_dir, logger, args):
     from multiplanarunet_tpu.hyperparameters import YAMLHParams
     from multiplanarunet_tpu.parallel import get_mesh
     from multiplanarunet_tpu.train import Trainer
+
+    if getattr(args, "debug", False):
+        jax.config.update("jax_debug_nans", True)
+        logger("--debug: jax_debug_nans enabled (training will stop at the "
+               "first op producing a NaN)")
 
     hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
                           logger=logger)

@@ -49,12 +49,19 @@ class Validation(Callback):
                     future = prefetcher.submit(
                         self.sequence.__getitem__, i + 1
                     )
+                # Shard eval batches over the mesh like the train path (pads
+                # to a device-count multiple; the mask keeps counts exact)
+                X, y, w, mask, n_true = trainer._shard_eval(X, y, w)
                 step_logs, (btp, brel, bsel) = trainer.eval_step(
-                    trainer.state.params, trainer.state.batch_stats, X, y, w
+                    trainer.state.params, trainer.state.batch_stats, X, y, w,
+                    mask,
                 )
-                batch_logs.append(
-                    {k: float(v) for k, v in step_logs.items()}
-                )
+                step_logs = {k: float(v) for k, v in step_logs.items()}
+                if int(X.shape[0]) != n_true:
+                    # Undo the padded-batch denominator in the mean loss
+                    # (pads carry zero sample weight)
+                    step_logs["loss"] *= X.shape[0] / n_true
+                batch_logs.append(step_logs)
                 tp += np.asarray(btp)
                 rel += np.asarray(brel)
                 sel += np.asarray(bsel)

@@ -42,19 +42,59 @@ def _git_info(repo_dir):
 
 
 class VersionController:
-    """Reports the framework version + git branch/commit for config stamping.
-
-    Replaces the reference's git-subprocess version controller
-    (`mpunet/bin/version/version_controller.py`) — checkout-by-tag is not
-    supported (a training container should never mutate its own install)."""
+    """Reports the framework version + git branch/commit for config stamping,
+    and (when the package lives in a git checkout) can move that checkout to
+    a version tag/branch — the reference's git-subprocess version controller
+    (`mpunet/bin/version/version_controller.py:30-85`)."""
 
     def __init__(self, logger=None):
         import multiplanarunet_tpu
 
         self.logger = logger or ScreenLogger()
         self.version = multiplanarunet_tpu.__version__
-        pkg_dir = Path(multiplanarunet_tpu.__file__).parent.parent
-        self.branch, self.commit = _git_info(pkg_dir)
+        self.git_path = str(Path(multiplanarunet_tpu.__file__).parent.parent)
+        self.branch, self.commit = _git_info(self.git_path)
+
+    def check_git(self):
+        """True when the package sits inside a usable git checkout."""
+        return (self.commit is not None
+                and os.path.exists(os.path.join(self.git_path, ".git")))
+
+    def _git(self, *args):
+        out = subprocess.run(
+            ["git", *args], cwd=self.git_path, capture_output=True,
+            text=True, timeout=30,
+        )
+        if out.returncode != 0:
+            raise OSError(
+                f"git {' '.join(args)} failed: {out.stderr.strip()}"
+            )
+        return out.stdout.strip()
+
+    def set_branch(self, branch):
+        """Check the package repo out at `branch` (a branch or tag name)
+        (parity: `version_controller.py:82-83`)."""
+        if not self.check_git():
+            raise OSError(
+                f"'{self.git_path}' is not a git checkout; cannot switch "
+                f"versions of an installed (non-git) package."
+            )
+        self._git("checkout", str(branch))
+        self.branch, self.commit = _git_info(self.git_path)
+
+    def set_commit(self, commit_id):
+        """Hard-reset the package repo to `commit_id`
+        (parity: `version_controller.py:79-80`)."""
+        if not self.check_git():
+            raise OSError(f"'{self.git_path}' is not a git checkout.")
+        self._git("reset", "--hard", str(commit_id))
+        self.branch, self.commit = _git_info(self.git_path)
+
+    def set_version(self, version):
+        """Check out version tag/branch ``v<version>``
+        (parity: `version_controller.py:76-78` — strips a leading 'v')."""
+        version = str(version).lower().strip(" v")
+        self.set_branch(f"v{version}")
 
     def check_or_warn(self, recorded_version, logger=None):
         logger = logger or self.logger

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from multiplanarunet_tpu.models.unet import ConvBNBlock, _act, crop_to_match
+from multiplanarunet_tpu.models.unet import (
+    ConvBNBlock, _act, crop_to_match, upsample2x,
+)
 
 
 class _SharedEncoder(nn.Module):
@@ -58,8 +60,7 @@ class _TaskDecoder(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
-            B, H, W, C = x.shape
-            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            x = upsample2x(x)
             x = nn.Conv(int(filters * self.cf), (2, 2), padding="SAME",
                         dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)

@@ -50,6 +50,16 @@ class ConvBNBlock(nn.Module):
         return x
 
 
+def upsample2x(x):
+    """Nearest 2x upsample as broadcast+reshape (identical to Keras
+    `UpSampling2D` pixel repetition). `jax.image.resize(method="nearest")`
+    computes the same values but lowers to a per-element gather on TPU —
+    this form is pure data movement and measurably faster in the decoder."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
 def crop_to_match(skip, up):
     """Center-crop `skip`'s spatial dims down to `up`'s. Returns (cropped,
     crops) where crops is a (ndim_spatial, 2) array of (lo, hi) pixel crops."""
@@ -121,8 +131,7 @@ class UNet(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
-            B, H, W, C = x.shape
-            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            x = upsample2x(x)
             x = nn.Conv(self._filters(filters), (2, 2), padding="SAME",
                         dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)

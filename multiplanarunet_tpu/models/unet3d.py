@@ -58,8 +58,14 @@ class UNet3D(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
+            # Nearest 2x upsample via broadcast (same values as
+            # jax.image.resize nearest / Keras UpSampling3D, but pure data
+            # movement instead of a per-element gather on TPU)
             B, D, H, W, C = x.shape
-            x = jax.image.resize(x, (B, D * 2, H * 2, W * 2, C), method="nearest")
+            x = jnp.broadcast_to(
+                x[:, :, None, :, None, :, None, :],
+                (B, D, 2, H, 2, W, 2, C),
+            ).reshape(B, D * 2, H * 2, W * 2, C)
             x = nn.Conv(self._filters(filters), (2, 2, 2), padding="SAME",
                         dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)

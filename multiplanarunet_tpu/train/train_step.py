@@ -100,9 +100,13 @@ def make_train_step(model, tx, loss_obj, metric_fns: Dict[str, Callable],
 def make_eval_step(model, loss_obj, metric_fns: Dict[str, Callable],
                    n_classes: int):
     """Build the jitted eval step returning loss, metrics and per-class
-    confusion counts (tp, rel=|y==c|, sel=|pred==c|)."""
+    confusion counts (tp, rel=|y==c|, sel=|pred==c|).
 
-    def step_fn(params, batch_stats, x, y, w):
+    `mask` (optional, (B,) 0/1) excludes batch elements from the confusion
+    counts — used when the Validation callback pads a batch up to a multiple
+    of the device count for mesh sharding."""
+
+    def step_fn(params, batch_stats, x, y, w, mask=None):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False
         )
@@ -117,11 +121,14 @@ def make_eval_step(model, loss_obj, metric_fns: Dict[str, Callable],
         one_true = jax.nn.one_hot(yy.astype(jnp.int32), n_classes,
                                   dtype=jnp.float32)
         one_pred = jax.nn.one_hot(pred_cls, n_classes, dtype=jnp.float32)
-        axes = tuple(range(one_true.ndim - 1))
-        tp = jnp.sum(one_true * one_pred, axis=axes)
-        rel = jnp.sum(one_true, axis=axes)
-        sel = jnp.sum(one_pred, axis=axes)
-        return logs, (tp, rel, sel)
+        sp_axes = tuple(range(1, one_true.ndim - 1))
+        tp = jnp.sum(one_true * one_pred, axis=sp_axes)  # (B, C)
+        rel = jnp.sum(one_true, axis=sp_axes)
+        sel = jnp.sum(one_pred, axis=sp_axes)
+        if mask is not None:
+            m = mask[:, None]
+            tp, rel, sel = tp * m, rel * m, sel * m
+        return logs, (tp.sum(0), rel.sum(0), sel.sum(0))
 
     return jax.jit(step_fn)
 

@@ -131,6 +131,20 @@ class Trainer:
             w = np.concatenate([w, np.zeros(pad, w.dtype)])
         return mesh_lib.shard_batch((X, y, np.asarray(w)), self.mesh)
 
+    def _shard_eval(self, X, y, w):
+        """Shard an eval batch over the mesh like `_shard`, returning also a
+        validity mask (0 for the pad-replicated tail) so the Validation
+        callback's confusion counts stay exact under padding."""
+        n_true = int(X.shape[0])
+        if self.n_devices <= 1:
+            return X, y, w, None, n_true
+        X, y, w = self._shard(X, y, w)
+        n_pad = int(X.shape[0])
+        mask = np.ones(n_pad, np.float32)
+        mask[n_true:] = 0.0
+        mask = mesh_lib.shard_batch(mask, self.mesh)
+        return X, y, w, mask, n_true
+
     def fit(self, train, val=None, batch_size=16, n_epochs=10, callbacks=(),
             train_im_per_epoch=2500, val_im_per_epoch=3500, init_epoch=0,
             verbose=True, no_im=False, **fit_kwargs):

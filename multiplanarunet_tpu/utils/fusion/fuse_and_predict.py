@@ -524,7 +524,7 @@ def predict_single(image, model, variables, hparams, views=None, logger=None):
     from multiplanarunet_tpu.sequences import get_sequence
 
     seq = get_sequence(
-        data_queue=None if False else _single_image_queue(image),
+        data_queue=_single_image_queue(image),
         is_validation=True, logger=logger,
         dim=hparams["build"]["dim"],
         n_classes=hparams["build"]["n_classes"],

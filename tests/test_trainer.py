@@ -118,3 +118,44 @@ def test_multi_device_data_parallel(toy_setup, tmp_path, monkeypatch):
         train_im_per_epoch=16, no_im=True, callbacks=[],
     )
     assert np.isfinite(history[0]["loss"])
+
+
+def test_validation_sharded_matches_single_device(toy_setup, tmp_path,
+                                                  monkeypatch):
+    """Epoch validation must use the mesh: sharded confusion counts (and
+    hence val_dice) agree bitwise with the single-device path, including
+    when the batch size does not divide the device count (pad + mask)."""
+    monkeypatch.chdir(tmp_path)
+    from multiplanarunet_tpu.callbacks.validation import Validation
+
+    # Deterministic batches: sample once, replay identically for both runs
+    val_seq = toy_setup["val"]
+    val_seq.batch_size = 6  # 6 % 8 != 0 -> exercises the pad + mask path
+
+    class _Replay:
+        def __init__(self, batches):
+            self.batches = batches
+            self.batch_size = 6
+
+        def __getitem__(self, i):
+            return self.batches[i % len(self.batches)]
+
+    batches = [val_seq[i] for i in range(2)]
+    replay = _Replay(batches)
+
+    results = {}
+    for name, single in (("single", True), ("sharded", False)):
+        trainer = _make_trainer(tmp_path, single_device=single)
+        cb = Validation(replay, steps=2, logger=ScreenLogger(False),
+                        verbose=False)
+        cb.set_trainer(trainer)
+        logs = {}
+        cb.on_epoch_end(0, logs)
+        results[name] = logs
+
+    assert results["sharded"]["val_dice"] == results["single"]["val_dice"]
+    assert results["sharded"]["val_precision"] == \
+        results["single"]["val_precision"]
+    assert results["sharded"]["val_recall"] == results["single"]["val_recall"]
+    np.testing.assert_allclose(results["sharded"]["val_loss"],
+                               results["single"]["val_loss"], rtol=1e-5)
