@@ -81,13 +81,13 @@ def probe_A(size):
     fill = jnp.zeros(1, jnp.float32)
     valid = jnp.asarray([size] * 3)
 
-    g_fn = jax.jit(lambda: sample_plane_stack_packed(
+    g_fn = jax.jit(lambda packed: sample_plane_stack_packed(
         packed, origin, spacing, rot, basis, offsets, span, size, fill,
         valid_shape=valid))
-    t_gather = timeit(lambda: sync(g_fn()))
+    t_gather = timeit(lambda: sync(g_fn(packed)))
     log(f"A.gather  (stack {size}x{size}x{P_pad}): {t_gather * 1e3:.0f} ms")
 
-    stack = g_fn()
+    stack = g_fn(packed)
     planes = jnp.moveaxis(stack, 2, 0).astype(jnp.bfloat16)
 
     def unet_fn(planes):
@@ -136,7 +136,7 @@ def probe_B(size):
     seq_idx = jnp.asarray(
         (np.arange(n_idx) % n_rows).astype(np.int32))  # sequential
     for width, dtype in ((8, jnp.bfloat16), (16, jnp.bfloat16),
-                         (56, jnp.bfloat16), (128, jnp.float32)):
+                         (56, jnp.bfloat16)):
         table = jnp.asarray(
             rng.rand(n_rows, width).astype(np.float32)).astype(dtype)
         f = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
@@ -191,6 +191,115 @@ def probe_C(size):
             log(f"C.unet chunk={chunk}: FAILED {e}")
 
 
+def probe_D(size):
+    """Per-level ablation of the U-Net forward: time each encoder/decoder
+    block on its real shapes to locate the hot levels."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from multiplanarunet_tpu.models.unet import ConvBNBlock
+
+    B = 32
+    cf = float(np.sqrt(2.0))
+    rng = np.random.RandomState(0)
+    total = 0.0
+    # Encoder blocks at each level + the bottom
+    shapes = []
+    filters = 64
+    s = size
+    c_in = 1
+    for i in range(4):
+        c_out = int(filters * cf)
+        shapes.append((f"enc_L{i}", s, c_in, c_out))
+        c_in, filters, s = c_out, filters * 2, s // 2
+    shapes.append(("bottom", s, c_in, int(filters * cf)))
+    # Decoder conv pairs see concat(skip, up) channels at doubled spatial
+    filters_d = filters
+    for i in range(4):
+        filters_d //= 2
+        s *= 2
+        c_cat = int(filters_d * cf) * 2
+        shapes.append((f"dec_L{i}", s, c_cat, int(filters_d * cf)))
+
+    for name, s, c_in, c_out in shapes:
+        block = ConvBNBlock(c_out, (3, 3), "relu", jnp.bfloat16, name=name)
+        x = jnp.asarray(rng.rand(B, s, s, c_in).astype(np.float32)).astype(
+            jnp.bfloat16)
+        variables = jax.jit(
+            lambda r, x: block.init(r, x, train=False))(jax.random.PRNGKey(0), x)
+        f = jax.jit(lambda v, x: block.apply(v, x, train=False))
+        dt = timeit(lambda: sync(f(variables, x)))
+        total += dt
+        gmacs = 9 * (c_in * c_out + c_out * c_out) * s * s * B / 1e9
+        log(f"D.{name:8s} {s:4d}^2 c{c_in:4d}->{c_out:4d}: {dt * 1e3:6.1f} ms"
+            f"  ({2 * gmacs / dt / 1e3:.0f} GFLOP/s... {gmacs:.1f} GMAC)")
+    log(f"D.sum of conv blocks: {total * 1e3:.0f} ms for batch {B} "
+        f"({total / B * 1e3:.2f} ms/plane)")
+
+
+def probe_E(size):
+    """Shear-resampler primitives: are slice-takes and vmapped dynamic
+    slices bandwidth-bound on this chip (vs the per-element gather ceiling)?
+    Shapes model one remap pass at `size`^3 x 7 classes bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    C = 7
+    P = size + 32
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(size, size, P * C).astype(np.float32)).astype(
+        jnp.bfloat16)  # (X, Y, P*C) — one pass works on the flattened minor
+    nbytes = A.size * 2
+    log(f"E: pass array {A.shape} bf16 = {nbytes / 1e6:.0f} MB")
+
+    # E1: scale pass — shared index vector along one axis (slice gather)
+    idx = jnp.asarray(
+        np.clip(np.round(np.arange(size) * 1.08), 0, size - 1).astype(
+            np.int32))
+    f1 = jax.jit(lambda A, idx: jnp.take(A, idx, axis=1))
+    dt = timeit(lambda: sync(f1(A, idx)))
+    log(f"E1.slice-take axis1 (shared idx): {dt * 1e3:.0f} ms "
+        f"({2 * nbytes / dt / 1e9:.0f} GB/s)")
+
+    # E2: shear pass — per-slab dynamic_slice along the minor axis + lerp
+    n_vec = jnp.asarray(rng.randint(0, 24, size).astype(np.int32))
+    f_vec = jnp.asarray(rng.rand(size).astype(np.float32))
+    out_w = (P - 32) * C
+
+    def shear(A, n_vec, f_vec):
+        def per_slab(slab, n, f):
+            a = jax.lax.dynamic_slice(slab, (0, n * C), (size, out_w))
+            b = jax.lax.dynamic_slice(slab, (0, (n + 1) * C), (size, out_w))
+            return (1.0 - f) * a.astype(jnp.float32) + f * b.astype(
+                jnp.float32)
+
+        return jax.vmap(per_slab)(A, n_vec, f_vec).astype(jnp.bfloat16)
+
+    f2 = jax.jit(shear)
+    dt = timeit(lambda: sync(f2(A, n_vec, f_vec)))
+    log(f"E2.vmapped dynamic_slice shear+lerp: {dt * 1e3:.0f} ms "
+        f"({3 * nbytes / dt / 1e9:.0f} GB/s)")
+
+    # E3: the same shear via per-element take_along_axis (the bad way)
+    k = jnp.arange(P - 32, dtype=jnp.int32)
+    idx2 = (n_vec[:, None] + k[None, :])  # (X, P-32)
+
+    def shear_taa(A, idx2):
+        A4 = A.reshape(size, size, P, C)
+        g = jnp.take_along_axis(A4, idx2[:, None, :, None], axis=2)
+        return g
+
+    f3 = jax.jit(shear_taa)
+    dt = timeit(lambda: sync(f3(A, idx2)))
+    log(f"E3.take_along_axis shear (per-element): {dt * 1e3:.0f} ms")
+
+    # E4: transpose cost (needed if passes must move the minor axis)
+    f4 = jax.jit(lambda A: jnp.swapaxes(A.reshape(size, size, P, C), 0, 2))
+    dt = timeit(lambda: sync(f4(A)))
+    log(f"E4.transpose (swap 0<->2): {dt * 1e3:.0f} ms")
+
+
 def main():
     from multiplanarunet_tpu.utils.compilation_cache import (
         enable_compilation_cache,
@@ -208,7 +317,8 @@ def main():
     which = args or ["A", "B", "C"]
     log(f"device: {jax.devices()[0]}, size={size}")
     for w in which:
-        {"A": probe_A, "B": probe_B, "C": probe_C}[w](size)
+        {"A": probe_A, "B": probe_B, "C": probe_C, "D": probe_D,
+         "E": probe_E}[w](size)
 
 
 if __name__ == "__main__":

@@ -140,7 +140,8 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if image_id in already_done:
             logger(f"Skipping {image_id} (already predicted)")
 
-    # Overlap host nii decode of image i+1 with device inference of image i
+    # Overlap host nii decode + scaling + device staging (bf16 ship +
+    # on-device corner packing) of image i+1 with inference of image i
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=1)
@@ -149,6 +150,7 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if idx < len(todo):
             img = loader.get_by_id(todo[idx])
             img.load()
+            img.interpolator.device_volume_packed()
             return img
         return None
 

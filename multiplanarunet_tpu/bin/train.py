@@ -140,6 +140,10 @@ def get_model(project_dir, train_seq, hparams, logger, args):
         logger=logger,
         initialize_from=args.initialize_from,
     )
+    if isinstance(hparams["build"].get("n_classes"), (list, tuple)):
+        # MultiTask: per-task output layers; bias init is per-task work the
+        # shared estimate below cannot do — skip (upstream never did either)
+        return model, variables, init_epoch, restored_lr
     if not args.continue_training and hparams["build"].get("biased_output_layer"):
         try:
             counts = estimate_class_frequencies(

@@ -33,10 +33,13 @@ class Validation(Callback):
     def on_epoch_end(self, epoch, logs=None):
         logs = logs if logs is not None else {}
         trainer = self.trainer
-        n_classes = trainer.n_classes
-        tp = np.zeros(n_classes)
-        rel = np.zeros(n_classes)
-        sel = np.zeros(n_classes)
+        multitask = trainer.multitask
+        n_classes_list = (list(trainer.n_classes) if multitask
+                          else [trainer.n_classes])
+        n_tasks = len(n_classes_list)
+        tp = [np.zeros(nc) for nc in n_classes_list]
+        rel = [np.zeros(nc) for nc in n_classes_list]
+        sel = [np.zeros(nc) for nc in n_classes_list]
         batch_logs = []
         # One-deep batch prefetch (sampling overlaps the device eval step)
         from concurrent.futures import ThreadPoolExecutor
@@ -52,40 +55,62 @@ class Validation(Callback):
                 # Shard eval batches over the mesh like the train path (pads
                 # to a device-count multiple; the mask keeps counts exact)
                 X, y, w, mask, n_true = trainer._shard_eval(X, y, w)
-                step_logs, (btp, brel, bsel) = trainer.eval_step(
+                step_logs, counts = trainer.eval_step(
                     trainer.state.params, trainer.state.batch_stats, X, y, w,
                     mask,
                 )
+                if not multitask:
+                    counts = (counts,)
                 step_logs = {k: float(v) for k, v in step_logs.items()}
-                if int(X.shape[0]) != n_true:
+                n_pad = int((X[0] if multitask else X).shape[0])
+                if n_pad != n_true:
                     # Undo the padded-batch denominator in the mean loss
                     # (pads carry zero sample weight)
-                    step_logs["loss"] *= X.shape[0] / n_true
+                    for k in step_logs:
+                        if k.endswith("loss"):
+                            step_logs[k] *= n_pad / n_true
                 batch_logs.append(step_logs)
-                tp += np.asarray(btp)
-                rel += np.asarray(brel)
-                sel += np.asarray(bsel)
+                for t, (btp, brel, bsel) in enumerate(counts):
+                    tp[t] += np.asarray(btp)
+                    rel[t] += np.asarray(brel)
+                    sel[t] += np.asarray(bsel)
 
         for key in batch_logs[0]:
             logs[f"val_{key}"] = float(np.mean([b[key] for b in batch_logs]))
 
-        (precision, recall, dice), (mp, mr, md) = precision_recall_dice(
-            tp, rel, sel, ignore_bg=self.ignore_bg
-        )
-        logs["val_precision"] = mp
-        logs["val_recall"] = mr
-        logs["val_dice"] = md
+        mps, mrs, mds, tables = [], [], [], []
+        for t in range(n_tasks):
+            (precision, recall, dice), (mp, mr, md) = precision_recall_dice(
+                tp[t], rel[t], sel[t], ignore_bg=self.ignore_bg
+            )
+            mps.append(mp)
+            mrs.append(mr)
+            mds.append(md)
+            tables.append((precision, recall, dice))
+            if multitask:
+                logs[f"val_task_{t}/dice"] = md
+        # Across tasks, val_dice is the task mean (single task: unchanged)
+        logs["val_precision"] = float(np.mean(mps))
+        logs["val_recall"] = float(np.mean(mrs))
+        logs["val_dice"] = float(np.mean(mds))
 
         if self.verbose:
             log = self._log()
-            classes = np.arange(1 if self.ignore_bg else 0, n_classes)
             log(f"\n--- Validation epoch {epoch} "
                 f"(loss={logs.get('val_loss', float('nan')):.4f}) ---")
-            log(f"{'class':>8} {'precision':>10} {'recall':>10} {'dice':>10}")
-            for i, c in enumerate(classes):
-                log(f"{c:>8} {precision[i]:>10.4f} {recall[i]:>10.4f} "
-                    f"{dice[i]:>10.4f}")
-            log(f"{'mean':>8} {mp:>10.4f} {mr:>10.4f} {md:>10.4f}")
+            for t in range(n_tasks):
+                if multitask:
+                    log(f"[task {t}]")
+                precision, recall, dice = tables[t]
+                classes = np.arange(1 if self.ignore_bg else 0,
+                                    n_classes_list[t])
+                log(f"{'class':>8} {'precision':>10} {'recall':>10} "
+                    f"{'dice':>10}")
+                for i, c in enumerate(classes):
+                    log(f"{c:>8} {precision[i]:>10.4f} {recall[i]:>10.4f} "
+                        f"{dice[i]:>10.4f}")
+                log(f"{'mean':>8} {mps[t]:>10.4f} {mrs[t]:>10.4f} "
+                    f"{mds[t]:>10.4f}")
 
 
 class ValDiceScores(Callback):

@@ -180,15 +180,27 @@ class VolumeSampler:
         trilinear path (see ops.interp.pack_corners). Cached. Stored bfloat16
         by default (intensities are normalized; the trilinear blend runs in
         float32), halving the 8x packing memory; pass dtype=None for float32.
-        """
+
+        The host->device copy ships in the TARGET dtype (bf16 halves the
+        transfer — significant on remote-device transports) and the 8x corner
+        packing expands on device."""
         if self._device_volume_packed is None:
             import jax.numpy as jnp
 
             from multiplanarunet_tpu.ops.interp import pack_corners
 
-            vol = self.device_volume(bucket=bucket)
-            if dtype is not None:
-                vol = vol.astype(jnp.bfloat16 if dtype == "bfloat16" else dtype)
+            if dtype is not None and self._device_volume is None:
+                np_dtype = jnp.bfloat16 if dtype == "bfloat16" else dtype
+                vol = jnp.asarray(
+                    self._bucket_pad(self.scaled_volume, bucket)
+                    .astype(np_dtype)
+                )
+            else:
+                vol = self.device_volume(bucket=bucket)
+                if dtype is not None:
+                    vol = vol.astype(
+                        jnp.bfloat16 if dtype == "bfloat16" else dtype
+                    )
             self._device_volume_packed = pack_corners(vol)
         return self._device_volume_packed
 

@@ -1,0 +1,463 @@
+"""Shear-decomposed affine resampling (the non-gather resampler).
+
+Both hot resampling stages of multi-planar inference — plane-stack
+extraction (volume -> oblique plane stack) and prediction remapping (plane
+stack -> voxel grid) — are affine warps of regular grids. The natural XLA
+formulation is a per-point gather, but measured on a v5e the XLA gather
+ceiling is ~54-71 M rows/s regardless of layout (benchmarks/perf_probe.py,
+probe B), which pins both stages at ~250 ms per view at 256^3.
+
+This module instead factors the affine index map into a sequence of
+ELEMENTARY passes, each resampling along ONE axis `m` at positions
+``alpha * t + beta * v[q] + gamma`` where `q` is one OTHER axis. Such a
+pass is a `take_along_axis` whose index array varies along only two of the
+array's axes — XLA lowers it to large contiguous slices (bandwidth-bound)
+rather than per-element gathers (probe E3: the same op with full-rank
+indices costs ~10x more). A general 3x3 affine needs at most 6 shear + 3
+scale passes (Gaussian elimination; the pivot permutation is a free array
+transpose).
+
+Out-of-bounds handling: a validity channel rides along as an extra channel;
+reads outside the stored data zero both data and validity, and the final
+step replaces low-validity voxels with the caller's fill vector (dividing
+surviving voxels by their validity so border blending stays unbiased).
+
+Accuracy: with method="linear" every pass blends linearly; the composition
+is a separable approximation of trilinear interpolation. The exact-gather
+kernels in `ops.interp` remain available for parity-critical evaluation
+(reference semantics: `mpunet/utils/fusion/fuse_and_predict.py:92-137`).
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------------ factorization
+class _Op:
+    """One elementary pass: resample axis `m` at alpha*t + beta*v[q] + gamma.
+
+    All geometry is resolved at plan time (static in the compiled program)."""
+
+    __slots__ = ("m", "q", "alpha", "beta", "gamma",
+                 "in_extent", "in_lo", "out_extent", "out_lo", "q_lo")
+
+    def __init__(self, m, q, alpha, beta):
+        self.m, self.q = m, q
+        self.alpha, self.beta = float(alpha), float(beta)
+        self.gamma = 0.0
+
+    def matrix(self):
+        M = np.eye(3)
+        M[self.m, self.m] = self.alpha
+        if self.q is not None:
+            M[self.m, self.q] = self.beta
+        return M
+
+    def __repr__(self):
+        return (f"Op(m={self.m}, q={self.q}, a={self.alpha:.4f}, "
+                f"b={self.beta:.4f}, g={self.gamma:.4f}, "
+                f"in={getattr(self, 'in_extent', '?')}"
+                f"@{getattr(self, 'in_lo', '?')}, "
+                f"out={getattr(self, 'out_extent', '?')}"
+                f"@{getattr(self, 'out_lo', '?')})")
+
+
+_ELIM_ORDER = [(1, 0), (2, 0), (2, 1), (0, 1), (0, 2), (1, 2)]
+
+
+def _peel(Np):
+    """Factor Np = E(1,0) E(2,0) E(2,1) E(0,1) E(0,2) E(1,2) diag(S), the
+    product taken in EXECUTION order (first executed = leftmost factor).
+    Returns (ops, ok)."""
+    R = np.array(Np, np.float64)
+    ops = []
+    for (m, q) in _ELIM_ORDER:
+        piv = R[q, q]
+        if abs(piv) < 1e-9:
+            return None, False
+        beta = R[m, q] / piv
+        ops.append(_Op(m, q, 1.0, beta))
+        R[m, :] = R[m, :] - beta * R[q, :]
+    for m in range(3):
+        if abs(R[m, m]) < 1e-9:
+            return None, False
+        ops.append(_Op(m, None, R[m, m], 0.0))
+    off = R - np.diag(np.diag(R))
+    if np.max(np.abs(off)) > 1e-6 * max(1.0, float(np.max(np.abs(Np)))):
+        return None, False
+    return ops, True
+
+
+def _compose(ops):
+    """Composite (M, t): A_K[v] = A_0[M v + t] for ops in execution order."""
+    M = np.eye(3)
+    t = np.zeros(3)
+    for op in ops:
+        E = op.matrix()
+        g = np.zeros(3)
+        g[op.m] = op.gamma
+        t = M @ g + t
+        M = M @ E
+    return M, t
+
+
+def factor_affine(N):
+    """Pick a row permutation + elementary-op sequence whose composite
+    matrix equals N[perm, :], minimizing the largest |coefficient| (bounds
+    intermediate extent growth). Returns (perm, ops) or (None, None)."""
+    N = np.asarray(N, np.float64)
+    best = None
+    for perm in permutations(range(3)):
+        ops, ok = _peel(N[list(perm), :])
+        if not ok:
+            continue
+        worst = max(
+            max(abs(o.beta) for o in ops),
+            max(max(abs(o.alpha), 1.0 / abs(o.alpha)) for o in ops),
+        )
+        if best is None or worst < best[0]:
+            best = (worst, perm, ops)
+    if best is None:
+        return None, None
+    return best[1], best[2]
+
+
+# ------------------------------------------------------------------ planning
+class ShearPlan:
+    """Static execution plan for one (N, c, src_shape, out_shape) resample."""
+
+    __slots__ = ("perm", "ops", "src_shape", "out_shape", "src_t_shape",
+                 "valid", "stages")
+
+    def __repr__(self):
+        body = "\n  ".join(repr(o) for o in self.ops)
+        return f"ShearPlan(perm={self.perm}, valid={self.valid},\n  {body})"
+
+
+def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
+    """Plan passes realizing out[v] = src[N v + c] (fill outside).
+
+    N, c take an OUTPUT index to a SOURCE fractional index. Intermediate
+    extents round up to `round_extent` so nearby views share compiled
+    shapes. plan.valid False => numerically singular; use the gather path.
+    """
+    plan = ShearPlan()
+    plan.src_shape = tuple(int(s) for s in src_shape)
+    plan.out_shape = tuple(int(s) for s in out_shape)
+    perm, ops = factor_affine(N)
+    plan.valid = perm is not None
+    if not plan.valid:
+        plan.perm, plan.ops, plan.stages = None, [], []
+        return plan
+    plan.perm = perm
+    plan.ops = ops
+    cp = np.asarray(c, np.float64)[list(perm)]
+
+    # Solve per-axis gammas (on the scale passes) for the translation
+    scale_ops = [op for op in ops if op.q is None]
+    _, base_t = _compose(ops)
+    cols = []
+    for s_op in scale_ops:
+        s_op.gamma = 1.0
+        _, t1 = _compose(ops)
+        cols.append(t1 - base_t)
+        s_op.gamma = 0.0
+    gammas = np.linalg.solve(np.stack(cols, axis=1), cp - base_t)
+    for s_op, g in zip(scale_ops, gammas):
+        s_op.gamma = float(g)
+
+    # ---- interval bookkeeping -------------------------------------------
+    src_t_shape = tuple(plan.src_shape[p] for p in perm)
+    plan.src_t_shape = src_t_shape
+    K = len(ops)
+
+    # Backward need B[i]: indices stage i must answer for
+    B = [None] * (K + 1)
+    B[K] = [(0.0, float(plan.out_shape[a] - 1)) for a in range(3)]
+    for i in range(K, 0, -1):
+        op = ops[i - 1]
+        prev = list(B[i])
+        vm = B[i][op.m]
+        vq = B[i][op.q] if op.q is not None else (0.0, 0.0)
+        cands_m = [op.alpha * vm[0], op.alpha * vm[1]]
+        cands_q = [op.beta * vq[0], op.beta * vq[1]]
+        lo = min(cands_m) + min(cands_q) + op.gamma
+        hi = max(cands_m) + max(cands_q) + op.gamma + 1.0  # +1: lerp upper
+        prev[op.m] = (np.floor(lo), np.ceil(hi))
+        B[i - 1] = prev
+
+    # Forward data D[i]: indices of stage i that can hold real data
+    D = [None] * (K + 1)
+    D[0] = [(0.0, float(src_t_shape[a] - 1)) for a in range(3)]
+    for i in range(1, K + 1):
+        op = ops[i - 1]
+        cur = list(D[i - 1])
+        sm = D[i - 1][op.m]
+        vq = cur[op.q] if op.q is not None else (0.0, 0.0)
+        lo = sm[0] - max(op.beta * vq[0], op.beta * vq[1]) - op.gamma
+        hi = sm[1] - min(op.beta * vq[0], op.beta * vq[1]) - op.gamma
+        lo, hi = sorted((lo / op.alpha, hi / op.alpha))
+        cur[op.m] = (np.floor(lo) - 1.0, np.ceil(hi) + 1.0)
+        D[i] = cur
+
+    # Desired stored interval per stage/axis = B ∩ D (clamped non-empty)
+    want = []
+    for i in range(K + 1):
+        row = []
+        for a in range(3):
+            lo = max(B[i][a][0], D[i][a][0])
+            hi = min(B[i][a][1], D[i][a][1])
+            if hi < lo:
+                lo, hi = 0.0, 1.0
+            row.append((lo, hi))
+        want.append(row)
+    # Boundary stages are fixed: A_0 = transposed source, A_K = output box
+    want[0] = [(0.0, float(src_t_shape[a] - 1)) for a in range(3)]
+    want[K] = [(0.0, float(plan.out_shape[a] - 1)) for a in range(3)]
+
+    # An op only changes its own axis, so along every other axis the stored
+    # window must be IDENTICAL between consecutive stages. For each axis,
+    # stages split into segments at the passes acting on it; within a
+    # segment use the union of wants (boundary stages pin their segment).
+    stages = [[None] * 3 for _ in range(K + 1)]
+    for a in range(3):
+        seg_start = 0
+        boundaries = [i + 1 for i, op in enumerate(ops) if op.m == a]
+        for seg_end in boundaries + [K + 1]:
+            seg = range(seg_start, min(seg_end, K + 1))
+            lo = min(want[i][a][0] for i in seg)
+            hi = max(want[i][a][1] for i in seg)
+            lo_i = int(np.floor(lo))
+            length = int(np.ceil(hi)) - lo_i + 1
+            if round_extent and 0 not in seg and K not in seg:
+                length = -(-length // round_extent) * round_extent
+            if 0 in seg:
+                lo_i, length = 0, src_t_shape[a]
+            if K in seg:
+                lo_i, length = 0, plan.out_shape[a]
+            for i in seg:
+                stages[i][a] = (lo_i, length)
+            seg_start = seg_end
+    plan.stages = stages
+
+    for i, op in enumerate(ops):
+        op.in_lo, op.in_extent = stages[i][op.m]
+        op.out_lo, op.out_extent = stages[i + 1][op.m]
+        op.q_lo = stages[i + 1][op.q][0] if op.q is not None else 0
+    return plan
+
+
+# ------------------------------------------------------------------ executors
+def _lift(x, m, q, L_out):
+    """(nq, L_out) plane -> rank-4 array with L_out at axis m, nq at axis q
+    (q may be None), 1 elsewhere (broadcast form for take_along_axis)."""
+    nq = x.shape[0]
+    shape = [1, 1, 1, 1]
+    shape[m] = L_out
+    if q is not None:
+        shape[q] = nq
+        if q > m:
+            x = x.T  # flat order must follow increasing axis order
+    return x.reshape(shape)
+
+
+def _pass_jnp(A, op, method="linear"):
+    """Apply one elementary pass to A (rank 4, channels last, validity as
+    the last channel — zeros outside data make masked reads correct)."""
+    m, q = op.m, op.q
+    L_out, L_in = op.out_extent, op.in_extent
+    t = jnp.arange(L_out, dtype=jnp.float32)
+    pos = op.alpha * (t + op.out_lo) + op.gamma - op.in_lo
+    if q is not None:
+        b = jnp.arange(A.shape[q], dtype=jnp.float32) + op.q_lo
+        pos = pos[None, :] + op.beta * b[:, None]  # (nq, L_out)
+    else:
+        pos = pos[None, :]
+    if method == "nearest":
+        idx0 = jnp.round(pos).astype(jnp.int32)
+        parts = [(idx0, None)]
+    else:
+        i0f = jnp.floor(pos)
+        f = pos - i0f
+        idx0 = i0f.astype(jnp.int32)
+        parts = [(idx0, 1.0 - f), (idx0 + 1, f)]
+    out = None
+    for idx, w in parts:
+        valid = (idx >= 0) & (idx < L_in)
+        g = jnp.take_along_axis(
+            A, _lift(jnp.clip(idx, 0, L_in - 1), m, q, L_out), axis=m
+        )
+        term = g * _lift(valid, m, q, L_out).astype(A.dtype)
+        if w is not None:
+            term = term * _lift(w, m, q, L_out).astype(A.dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def exact_inside_mask(N, c, src_shape, out_shape):
+    """Boolean inside-mask computed in closed form: a voxel is inside iff
+    N v + c lies within [0, n-1] on every source axis (the exact gather
+    rule, `ops.interp._index_parts`). Affine in v -> built from iota."""
+    N = np.asarray(N, np.float64)
+    c = np.asarray(c, np.float64)
+    X, Y, Z = out_shape
+    ii = jnp.arange(X, dtype=jnp.float32)[:, None, None]
+    jj = jnp.arange(Y, dtype=jnp.float32)[None, :, None]
+    kk = jnp.arange(Z, dtype=jnp.float32)[None, None, :]
+    inside = True
+    for a in range(3):
+        r = (np.float32(N[a, 0]) * ii + np.float32(N[a, 1]) * jj
+             + np.float32(N[a, 2]) * kk + np.float32(c[a]))
+        inside = inside & (r >= 0.0) & (r <= np.float32(src_shape[a] - 1))
+    return inside
+
+
+def shear_resample(src, plan: ShearPlan, fill, method="linear",
+                   compute_dtype=jnp.float32, exact_bounds=None):
+    """Execute a ShearPlan on device.
+
+    src: (S0, S1, S2, C). Returns out_shape + (C,) in compute_dtype with
+    `fill` (C,) where the map lands outside src. Jittable; `plan` must be
+    closed over (static).
+
+    exact_bounds: optional (N, c) or (N, c, bounds_shape) of the planned
+    affine; when given, the inside/outside decision uses the closed-form
+    exact rule (agrees with the gather path) instead of the carried
+    validity channel, which erodes ~1 voxel per pass at volume borders.
+    bounds_shape overrides src's shape in the rule (e.g. to treat padded
+    tail planes as out-of-bounds)."""
+    C = src.shape[-1]
+    A = src.astype(compute_dtype)
+    A = jnp.concatenate(
+        [A, jnp.ones(A.shape[:3] + (1,), compute_dtype)], axis=-1)
+    A = jnp.transpose(A, plan.perm + (3,))
+    for op in plan.ops:
+        A = _pass_jnp(A, op, method)
+    data, valid = A[..., :C], A[..., C]
+    if exact_bounds is not None:
+        N, c = exact_bounds[0], exact_bounds[1]
+        bshape = exact_bounds[2] if len(exact_bounds) > 2 else plan.src_shape
+        ok = exact_inside_mask(N, c, bshape, plan.out_shape)
+    else:
+        ok = valid > 0.5
+    # Undo border darkening (blending with zero pads) by dividing by the
+    # carried validity; clamp so exact-inside voxels with tiny validity
+    # (deep shear corners) stay bounded
+    safe = jnp.maximum(valid, 0.05)[..., None]
+    fill = jnp.asarray(fill, compute_dtype)
+    return jnp.where(ok[..., None], data / safe, fill)
+
+
+# ------------------------------------------------- application-level planners
+def plan_plane_stack(basis, rot, origin, spacing, g0, g_step, o0, o_step,
+                     vol_shape, dim, n_planes):
+    """Plan the FORWARD resample: volume (X,Y,Z) -> oblique plane stack
+    (dim, dim, n_planes). Plane sample (i, j, p) sits at real position
+    u*(g0+i*g_step) + v*(g0+j*g_step) + n_hat*(o0+p*o_step), rotated by
+    `rot` and converted to voxel indices via (pos - origin)/spacing
+    (the shear equivalent of `ops.interp.sample_plane_stack_packed`).
+
+    Returns (plan, (N, c)) for shear_resample(exact_bounds=(N, c))."""
+    basis = np.asarray(basis, np.float64)
+    rot = np.asarray(rot, np.float64)
+    origin = np.asarray(origin, np.float64)
+    spacing = np.asarray(spacing, np.float64)
+    # real position = B @ diag(step) @ (i,j,p) + B @ (g0, g0, o0)
+    B = basis  # columns u, v, n_hat
+    steps = np.diag([g_step, g_step, o_step])
+    starts = B @ np.array([g0, g0, o0])
+    N = (1.0 / spacing)[:, None] * (rot @ B @ steps)
+    c = (rot @ starts - origin) / spacing
+    plan = plan_affine_resample(N, c, vol_shape,
+                                (int(dim), int(dim), int(n_planes)))
+    return plan, (N, c)
+
+
+def plan_view_remap(M, t, g0, g_step, o0, o_step, pred_shape, out_shape):
+    """Plan the BACKWARD resample: prediction stack (d, d, P) -> voxel grid.
+    Voxel index v maps to plane coords M v + t; plane coords convert to
+    stack indices via (coord - (g0, g0, o0)) / (g_step, g_step, o_step)
+    (the shear equivalent of `ops.interp.map_view_pred_affine`).
+
+    Returns (plan, (N, c))."""
+    M = np.asarray(M, np.float64)
+    t = np.asarray(t, np.float64)
+    starts = np.array([g0, g0, o0], np.float64)
+    steps = np.array([g_step, g_step, o_step], np.float64)
+    N = M / steps[:, None]
+    c = (t - starts) / steps
+    plan = plan_affine_resample(N, c, pred_shape, out_shape)
+    return plan, (N, c)
+
+
+# ---------------------------------------------------------------- numpy twin
+def _pass_np(A, op, method="linear"):
+    m, q = op.m, op.q
+    L_out, L_in = op.out_extent, op.in_extent
+    t = np.arange(L_out, dtype=np.float64)
+    pos = op.alpha * (t + op.out_lo) + op.gamma - op.in_lo
+    if q is not None:
+        b = np.arange(A.shape[q], dtype=np.float64) + op.q_lo
+        pos = pos[None, :] + op.beta * b[:, None]
+    else:
+        pos = pos[None, :]
+    if method == "nearest":
+        parts = [(np.round(pos).astype(np.int64), None)]
+    else:
+        i0 = np.floor(pos).astype(np.int64)
+        f = pos - i0
+        parts = [(i0, 1.0 - f), (i0 + 1, f)]
+
+    def lift(x):
+        nq = x.shape[0]
+        shape = [1, 1, 1, 1]
+        shape[m] = L_out
+        if q is not None:
+            shape[q] = nq
+            if q > m:
+                x = x.T
+        return x.reshape(shape)
+
+    out = None
+    for idx, w in parts:
+        valid = (idx >= 0) & (idx < L_in)
+        idx_l = lift(np.clip(idx, 0, L_in - 1))
+        tgt = list(A.shape)
+        tgt[m] = L_out
+        g = np.take_along_axis(A, np.broadcast_to(idx_l, tgt), axis=m)
+        term = g * lift(valid)
+        if w is not None:
+            term = term * lift(w)
+        out = term if out is None else out + term
+    return out
+
+
+def shear_resample_np(src, plan: ShearPlan, fill, method="linear",
+                      exact_bounds=None):
+    """Numpy reference implementation of `shear_resample` (tests)."""
+    C = src.shape[-1]
+    A = np.concatenate(
+        [np.asarray(src, np.float64),
+         np.ones(src.shape[:3] + (1,), np.float64)], axis=-1)
+    A = np.transpose(A, plan.perm + (3,))
+    for op in plan.ops:
+        A = _pass_np(A, op, method)
+    data, valid = A[..., :C], A[..., C]
+    if exact_bounds is not None:
+        N, c = exact_bounds[0], exact_bounds[1]
+        bshape = exact_bounds[2] if len(exact_bounds) > 2 else plan.src_shape
+        ii, jj, kk = np.meshgrid(*[np.arange(s) for s in plan.out_shape],
+                                 indexing="ij")
+        pts = np.stack([ii, jj, kk], -1).astype(np.float64) @ \
+            np.asarray(N, np.float64).T + np.asarray(c, np.float64)
+        n = np.asarray(bshape, np.float64)
+        ok = np.all((pts >= 0) & (pts <= n - 1), axis=-1)
+    else:
+        ok = valid > 0.5
+    safe = np.maximum(valid, 0.05)[..., None]
+    fill = np.asarray(fill, np.float64)
+    return np.where(ok[..., None], data / safe, fill)

@@ -173,17 +173,102 @@ def prepare_for_3d_unet(hparams, just_one=False, no_val=False,
     return get_sequencers(train_queue, val_queue, logger, hparams)
 
 
-def prepare_for_multi_task_2d(hparams, **kwargs):
-    """MultiTask training data preparation.
+def _load_or_create_task_views(hparams, task_name, auditor, continue_training,
+                               logger, base_path):
+    """Per-task view resolution: each task samples (and persists) its own
+    restricted view set at `views_<task>.npz` (spans/resolutions differ per
+    task, so sharing one view set across tasks has no benefit)."""
+    view_path = os.path.join(base_path, f"views_{task_name}.npz")
+    if continue_training:
+        return np.load(view_path)["arr_0"]
+    views = hparams["fit"]["views"]
+    if isinstance(views, (int, np.integer)):
+        weights = None
+        if auditor is not None:
+            weights = np.median(auditor.info["pixdims"], axis=0)
+        views = sample_random_views_with_angle_restriction(
+            int(views), 60, weights=weights, logger=logger
+        )
+    else:
+        views = np.asarray(views, np.float64)
+    np.savez(view_path, views)
+    return views
 
-    The reference disables MultiTask training in >=0.2.6
-    (`preprocessing/data_preparation_funcs.py:237-240`); the model itself and
-    `mp branch` are supported. Kept as an explicit error for parity."""
-    raise NotImplementedError(
-        "MultiTask training is not currently supported (matching upstream "
-        "behavior). Use 'mp branch' to split the project into per-task "
-        "single-task projects."
-    )
+
+def prepare_for_multi_task_2d(hparams, just_one=False, no_val=False,
+                              continue_training=False, logger=None,
+                              base_path="./"):
+    """MultiTask training data preparation: one audited loader/queue/sequence
+    stack per task, wrapped in a MultiTaskSequence.
+
+    The reference DISABLES MultiTask training in >=0.2.6
+    (`mpunet/preprocessing/data_preparation_funcs.py:237-240` raises
+    NotImplementedError); here it is fully supported — per-task YAMLs (the
+    `tasks` group of the MultiTask preset) are loaded, audited into their
+    `task_specifics` groups, and the main `build` group is filled with the
+    per-task n_classes/n_channels/dim lists the MultiTaskUNet2D consumes."""
+    from multiplanarunet_tpu.hyperparameters import YAMLHParams
+    from multiplanarunet_tpu.sequences.multi_task import MultiTaskSequence
+
+    logger = logger or ScreenLogger()
+    tasks = hparams.get("tasks")
+    if not tasks or "task_names" not in tasks:
+        raise ValueError(
+            "MultiTask training needs a 'tasks' group with 'task_names' and "
+            "'hparam_files' in train_hparams.yaml (see the MultiTask preset)."
+        )
+    names = list(tasks["task_names"])
+    files = list(tasks["hparam_files"])
+    if len(names) != len(files):
+        raise ValueError("tasks.task_names and tasks.hparam_files must have "
+                         "equal length")
+
+    train_seqs, val_seqs = [], []
+    n_classes, n_channels, dims = [], [], []
+    for name, fname in zip(names, files):
+        logger(f"\n[*] Preparing task '{name}' ({fname})")
+        task_hp = YAMLHParams(os.path.join(base_path, fname), logger=logger,
+                              no_version_control=True)
+        # Shared fit settings (bg_value, scaler, max_loaded, ...) come from
+        # the main file; graft the group in-memory for get_from_anywhere
+        # lookups (the raw YAML string of the task file is not touched)
+        dict.__setitem__(task_hp, "fit", dict(hparams["fit"]))
+        train_queue, val_queue, logger, auditor = _base_loader_func(
+            task_hp, just_one, no_val, logger, "multi_task_2d"
+        )
+        spec = task_hp["task_specifics"]
+        views = _load_or_create_task_views(
+            hparams, name, auditor, continue_training, logger, base_path
+        )
+        fit_kwargs = dict(hparams["fit"])
+        fit_kwargs["views"] = views
+        fit_kwargs["real_space_span"] = spec["real_space_span"]
+        for queue, is_val, out in ((train_queue, False, train_seqs),
+                                   (val_queue, True, val_seqs)):
+            if not queue:
+                out.append(None)
+                continue
+            out.append(get_sequence(
+                data_queue=queue, is_validation=is_val, logger=logger,
+                dim=spec["dim"], n_classes=spec["n_classes"], **fit_kwargs,
+            ))
+        n_classes.append(int(spec["n_classes"]))
+        n_channels.append(int(spec["n_channels"]))
+        dims.append(int(spec["dim"]))
+
+    # Push the per-task lists into the main build group (consumed by
+    # MultiTaskUNet2D's constructor)
+    for key, value in (("task_names", names), ("n_classes", n_classes),
+                       ("n_channels", n_channels), ("dim", dims)):
+        hparams.set_value(subdir="build", name=key, value=value,
+                          overwrite=True, log=False)
+    hparams.save_current()
+
+    train = MultiTaskSequence(train_seqs, names, logger=logger)
+    val = None
+    if not no_val and all(s is not None for s in val_seqs):
+        val = MultiTaskSequence(val_seqs, names, logger=logger, no_log=True)
+    return train, val
 
 
 PREPARATION_FUNCS = {

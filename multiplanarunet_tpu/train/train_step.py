@@ -133,5 +133,91 @@ def make_eval_step(model, loss_obj, metric_fns: Dict[str, Callable],
     return jax.jit(step_fn)
 
 
+# ------------------------------------------------------------- multi-task
+def make_multitask_train_step(model, tx, loss_obj,
+                              metric_fns: Dict[str, Callable],
+                              l1_reg=0.0, l2_reg=0.0, donate=True):
+    """Train step over per-task batch tuples for MultiTaskUNet2D.
+
+    `xs`/`ys`/`ws` are tuples with one entry per task (shapes may differ
+    across tasks). One forward through the shared-encoder model per task
+    input; total loss is the mean of per-task losses, so every step updates
+    the shared encoder with gradients from ALL tasks (the reference never
+    shipped a working version of this —
+    `mpunet/preprocessing/data_preparation_funcs.py:237-240`)."""
+
+    def step_fn(state: TrainState, xs, ys, ws):
+        def loss_fn(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xs, train=True, mutable=["batch_stats"],
+            )
+            losses = [loss_obj(y, out, sample_weight=w)
+                      for y, out, w in zip(ys, outs, ws)]
+            loss = sum(losses) / len(losses)
+            loss = loss + _reg_penalty(params, l1_reg, l2_reg)
+            return loss, (outs, losses,
+                          mutated.get("batch_stats", state.batch_stats))
+
+        (loss, (outs, losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        logs = {"loss": loss}
+        for t, (y, out, task_loss) in enumerate(zip(ys, outs, losses)):
+            logs[f"task_{t}/loss"] = task_loss
+            for name, fn in metric_fns.items():
+                logs[f"task_{t}/{name}"] = fn(y, out)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, logs
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_multitask_eval_step(model, loss_obj,
+                             metric_fns: Dict[str, Callable],
+                             n_classes_per_task):
+    """Eval step over per-task batch tuples; returns per-task confusion
+    counts as a tuple of (tp, rel, sel) triples."""
+    n_classes_per_task = tuple(int(n) for n in n_classes_per_task)
+
+    def step_fn(params, batch_stats, xs, ys, ws, masks=None):
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xs, train=False
+        )
+        losses = [loss_obj(y, out, sample_weight=w)
+                  for y, out, w in zip(ys, outs, ws)]
+        logs = {"loss": sum(losses) / len(losses)}
+        counts = []
+        for t, (y, out, nc) in enumerate(zip(ys, outs, n_classes_per_task)):
+            logs[f"task_{t}/loss"] = losses[t]
+            for name, fn in metric_fns.items():
+                logs[f"task_{t}/{name}"] = fn(y, out)
+            yy = y
+            if yy.shape[-1] == 1 and yy.ndim == out.ndim:
+                yy = jnp.squeeze(yy, axis=-1)
+            pred_cls = jnp.argmax(out, axis=-1)
+            one_true = jax.nn.one_hot(yy.astype(jnp.int32), nc,
+                                      dtype=jnp.float32)
+            one_pred = jax.nn.one_hot(pred_cls, nc, dtype=jnp.float32)
+            sp_axes = tuple(range(1, one_true.ndim - 1))
+            tp = jnp.sum(one_true * one_pred, axis=sp_axes)
+            rel = jnp.sum(one_true, axis=sp_axes)
+            sel = jnp.sum(one_pred, axis=sp_axes)
+            if masks is not None:
+                m = masks[t][:, None]
+                tp, rel, sel = tp * m, rel * m, sel * m
+            counts.append((tp.sum(0), rel.sum(0), sel.sum(0)))
+        return logs, tuple(counts)
+
+    return jax.jit(step_fn)
+
+
 # precision_recall_dice lives in evaluate.metrics; re-exported for callers
 from multiplanarunet_tpu.evaluate.metrics import precision_recall_dice  # noqa: E402,F401

@@ -27,6 +27,8 @@ from multiplanarunet_tpu.train.train_step import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_multitask_eval_step,
+    make_multitask_train_step,
     make_train_step,
 )
 from multiplanarunet_tpu.train.utils import (
@@ -80,18 +82,33 @@ class Trainer:
             self.state = mesh_lib.replicate(self.state, self.mesh)
         l1 = float(l1_reg) if l1_reg else 0.0
         l2 = float(l2_reg) if l2_reg else 0.0
-        self.train_step = make_train_step(
-            self.model, self.tx, self.loss_obj, self.metric_fns,
-            l1_reg=l1, l2_reg=l2,
-        )
         n_classes = getattr(self.model, "n_classes", None)
-        self.eval_step = make_eval_step(
-            self.model, self.loss_obj, self.metric_fns, n_classes
-        )
+        if self.multitask:
+            self.train_step = make_multitask_train_step(
+                self.model, self.tx, self.loss_obj, self.metric_fns,
+                l1_reg=l1, l2_reg=l2,
+            )
+            self.eval_step = make_multitask_eval_step(
+                self.model, self.loss_obj, self.metric_fns, n_classes
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model, self.tx, self.loss_obj, self.metric_fns,
+                l1_reg=l1, l2_reg=l2,
+            )
+            self.eval_step = make_eval_step(
+                self.model, self.loss_obj, self.metric_fns, n_classes
+            )
         self.logger("Trainer compiled.")
         return self
 
     # --------------------------------------------------------------- state
+    @property
+    def multitask(self):
+        """True for models taking per-task input tuples (MultiTaskUNet2D)."""
+        return isinstance(getattr(self.model, "n_classes", None),
+                          (list, tuple))
+
     @property
     def n_classes(self):
         return self.model.n_classes
@@ -120,6 +137,10 @@ class Trainer:
 
     # ----------------------------------------------------------------- fit
     def _shard(self, X, y, w):
+        if self.multitask and isinstance(X, (list, tuple)):
+            sharded = [self._shard(x, yy, ww) for x, yy, ww in zip(X, y, w)]
+            return (tuple(s[0] for s in sharded), tuple(s[1] for s in sharded),
+                    tuple(s[2] for s in sharded))
         if self.n_devices <= 1:
             return X, y, w
         pad = mesh_lib.pad_batch_to_multiple(X.shape[0], self.n_devices) - X.shape[0]
@@ -135,6 +156,14 @@ class Trainer:
         """Shard an eval batch over the mesh like `_shard`, returning also a
         validity mask (0 for the pad-replicated tail) so the Validation
         callback's confusion counts stay exact under padding."""
+        if self.multitask and isinstance(X, (list, tuple)):
+            parts = [self._shard_eval(x, yy, ww)
+                     for x, yy, ww in zip(X, y, w)]
+            masks = tuple(p[3] for p in parts)
+            if all(m is None for m in masks):
+                masks = None
+            return (tuple(p[0] for p in parts), tuple(p[1] for p in parts),
+                    tuple(p[2] for p in parts), masks, parts[0][4])
         n_true = int(X.shape[0])
         if self.n_devices <= 1:
             return X, y, w, None, n_true

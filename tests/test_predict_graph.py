@@ -110,6 +110,33 @@ def test_learned_fusion_weights_apply(label_image):
     assert (fused.argmax(-1) == lab)[interior].mean() > 0.97
 
 
+def test_scan_fast_path_matches_per_view_loop(label_image):
+    """The single-dispatch view-scan graph (return_per_view=False) must give
+    the same fused argmax as the per-view loop, with and without learned
+    fusion weights."""
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(5))
+    pred = _predictor()
+    rngw = np.random.RandomState(7)
+    fusion_params = {
+        "fusion": {
+            "W": (1.0 + 0.2 * rngw.rand(3, N_CLASSES)).astype(np.float32),
+            "b": (0.1 * rngw.randn(1, N_CLASSES)).astype(np.float32),
+        }
+    }
+    for fp in (None, fusion_params):
+        fast, none_pv = pred.predict_image(pair, views, fusion_params=fp,
+                                           n_planes="same+4",
+                                           return_per_view=False)
+        assert none_pv is None
+        assert fast.dtype == np.uint8
+        slow_probs, _ = pred.predict_image(pair, views, fusion_params=fp,
+                                           n_planes="same+4",
+                                           return_per_view=False,
+                                           return_probs=True)
+        np.testing.assert_array_equal(fast, slow_probs.argmax(-1))
+
+
 def test_predict_views_mapped_stack(label_image):
     pair, lab = label_image
     views = geometry.get_random_views(2, rng=np.random.RandomState(2))
