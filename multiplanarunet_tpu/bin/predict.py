@@ -54,6 +54,13 @@ def get_argparser():
     parser.add_argument("--no_argmax", action="store_true",
                         help="Save the full softmax volume instead of the "
                              "argmax class map")
+    parser.add_argument("--resampler", type=str, default="auto",
+                        choices=("auto", "shear", "gather"),
+                        help="Plane-extraction/remap kernel: 'gather' is the "
+                             "exact trilinear/nearest path; 'shear' the "
+                             "faster shear-decomposed path; 'auto' (default) "
+                             "uses shear when the view affines factor within "
+                             "the memory guard")
     parser.add_argument("--n_planes", type=str, default="same+20",
                         help="Planes per view: 'same', 'same+N', "
                              "'by_radius' or an integer")
@@ -150,7 +157,7 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if idx < len(todo):
             img = loader.get_by_id(todo[idx])
             img.load()
-            img.interpolator.device_volume_packed()
+            predictor.prestage(img, views, n_planes=args.n_planes)
             return img
         return None
 
@@ -267,7 +274,7 @@ def entry_func(args=None):
         sample_dim=hparams["build"]["dim"],
         real_space_span=hparams["fit"]["real_space_span"],
         n_classes=hparams["build"]["n_classes"],
-        logger=logger,
+        logger=logger, resampler=args.resampler,
     )
     import jax
 

@@ -61,6 +61,7 @@ class VolumeSampler:
 
         self._device_volume = None
         self._device_volume_packed = None
+        self._device_volume_unpacked = None
         self._device_labels = None
         self._scaled_cache = None
 
@@ -204,6 +205,30 @@ class VolumeSampler:
             self._device_volume_packed = pack_corners(vol)
         return self._device_volume_packed
 
+    def device_volume_unpacked(self, bucket=32, dtype="bfloat16"):
+        """Plain (X, Y, Z, C) scaled volume for the shear resampler, shipped
+        in bf16 (half the transfer of f32, 1/8 the HBM of the corner-packed
+        form; the shear passes blend in float32). Cached separately from
+        `device_volume` (whose float32 cache the training path relies on)."""
+        if self._device_volume_unpacked is None:
+            import jax.numpy as jnp
+
+            np_dtype = jnp.bfloat16 if dtype == "bfloat16" else dtype
+            vol = self._bucket_pad(self.scaled_volume, bucket)
+            if dtype is not None:
+                vol = vol.astype(np_dtype)
+            self._device_volume_unpacked = jnp.asarray(vol)
+        return self._device_volume_unpacked
+
+    def padded_shape(self, bucket=32):
+        """Spatial shape after `_bucket_pad` — without staging anything."""
+        if not bucket:
+            return tuple(int(s) for s in self.image.shape[:3])
+        return tuple(
+            max(bucket, -(-int(n) // bucket) * bucket)
+            for n in self.image.shape[:3]
+        )
+
     def device_labels(self, bucket=32):
         """Labels as (X, Y, Z, 1) float32 on device (nearest-gather source)."""
         import jax.numpy as jnp
@@ -227,5 +252,6 @@ class VolumeSampler:
     def unload_device(self):
         self._device_volume = None
         self._device_volume_packed = None
+        self._device_volume_unpacked = None
         self._device_labels = None
         self._scaled_cache = None

@@ -130,32 +130,22 @@ def factor_affine(N):
 class ShearPlan:
     """Static execution plan for one (N, c, src_shape, out_shape) resample."""
 
-    __slots__ = ("perm", "ops", "src_shape", "out_shape", "src_t_shape",
-                 "valid", "stages")
+    __slots__ = ("perm", "out_perm", "ops", "src_shape", "out_shape",
+                 "src_t_shape", "valid", "stages")
 
     def __repr__(self):
         body = "\n  ".join(repr(o) for o in self.ops)
-        return f"ShearPlan(perm={self.perm}, valid={self.valid},\n  {body})"
+        return (f"ShearPlan(perm={self.perm}, out_perm={self.out_perm}, "
+                f"valid={self.valid},\n  {body})")
 
 
-def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
-    """Plan passes realizing out[v] = src[N v + c] (fill outside).
-
-    N, c take an OUTPUT index to a SOURCE fractional index. Intermediate
-    extents round up to `round_extent` so nearby views share compiled
-    shapes. plan.valid False => numerically singular; use the gather path.
-    """
-    plan = ShearPlan()
-    plan.src_shape = tuple(int(s) for s in src_shape)
-    plan.out_shape = tuple(int(s) for s in out_shape)
-    perm, ops = factor_affine(N)
-    plan.valid = perm is not None
-    if not plan.valid:
-        plan.perm, plan.ops, plan.stages = None, [], []
-        return plan
+def _finish_plan(plan, perm, out_perm, ops, c_rp, out_shape_p, round_extent):
+    """Solve translations + interval bookkeeping for one factorization.
+    `out_shape_p` is the PLANNED (column-permuted) output box; plan.out_shape
+    stays the true one (the executor transposes back at the end)."""
     plan.perm = perm
+    plan.out_perm = out_perm
     plan.ops = ops
-    cp = np.asarray(c, np.float64)[list(perm)]
 
     # Solve per-axis gammas (on the scale passes) for the translation
     scale_ops = [op for op in ops if op.q is None]
@@ -166,7 +156,7 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
         _, t1 = _compose(ops)
         cols.append(t1 - base_t)
         s_op.gamma = 0.0
-    gammas = np.linalg.solve(np.stack(cols, axis=1), cp - base_t)
+    gammas = np.linalg.solve(np.stack(cols, axis=1), c_rp - base_t)
     for s_op, g in zip(scale_ops, gammas):
         s_op.gamma = float(g)
 
@@ -175,9 +165,10 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
     plan.src_t_shape = src_t_shape
     K = len(ops)
 
-    # Backward need B[i]: indices stage i must answer for
+    # Backward need B[i]: indices stage i must answer for. Margins cover the
+    # widest tap footprint (cubic: [floor(pos)-1, floor(pos)+2]).
     B = [None] * (K + 1)
-    B[K] = [(0.0, float(plan.out_shape[a] - 1)) for a in range(3)]
+    B[K] = [(0.0, float(out_shape_p[a] - 1)) for a in range(3)]
     for i in range(K, 0, -1):
         op = ops[i - 1]
         prev = list(B[i])
@@ -185,8 +176,8 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
         vq = B[i][op.q] if op.q is not None else (0.0, 0.0)
         cands_m = [op.alpha * vm[0], op.alpha * vm[1]]
         cands_q = [op.beta * vq[0], op.beta * vq[1]]
-        lo = min(cands_m) + min(cands_q) + op.gamma
-        hi = max(cands_m) + max(cands_q) + op.gamma + 1.0  # +1: lerp upper
+        lo = min(cands_m) + min(cands_q) + op.gamma - 1.0
+        hi = max(cands_m) + max(cands_q) + op.gamma + 2.0
         prev[op.m] = (np.floor(lo), np.ceil(hi))
         B[i - 1] = prev
 
@@ -201,7 +192,7 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
         lo = sm[0] - max(op.beta * vq[0], op.beta * vq[1]) - op.gamma
         hi = sm[1] - min(op.beta * vq[0], op.beta * vq[1]) - op.gamma
         lo, hi = sorted((lo / op.alpha, hi / op.alpha))
-        cur[op.m] = (np.floor(lo) - 1.0, np.ceil(hi) + 1.0)
+        cur[op.m] = (np.floor(lo) - 2.0, np.ceil(hi) + 2.0)
         D[i] = cur
 
     # Desired stored interval per stage/axis = B ∩ D (clamped non-empty)
@@ -217,7 +208,7 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
         want.append(row)
     # Boundary stages are fixed: A_0 = transposed source, A_K = output box
     want[0] = [(0.0, float(src_t_shape[a] - 1)) for a in range(3)]
-    want[K] = [(0.0, float(plan.out_shape[a] - 1)) for a in range(3)]
+    want[K] = [(0.0, float(out_shape_p[a] - 1)) for a in range(3)]
 
     # An op only changes its own axis, so along every other axis the stored
     # window must be IDENTICAL between consecutive stages. For each axis,
@@ -238,7 +229,7 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
             if 0 in seg:
                 lo_i, length = 0, src_t_shape[a]
             if K in seg:
-                lo_i, length = 0, plan.out_shape[a]
+                lo_i, length = 0, out_shape_p[a]
             for i in seg:
                 stages[i][a] = (lo_i, length)
             seg_start = seg_end
@@ -251,7 +242,80 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
     return plan
 
 
+def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
+    """Plan passes realizing out[v] = src[N v + c] (fill outside).
+
+    N, c take an OUTPUT index to a SOURCE fractional index. Intermediate
+    extents round up to `round_extent` so nearby views share compiled
+    shapes. plan.valid False => numerically singular; use the gather path.
+
+    Searches all (source-axis, output-axis) permutation pairs — the source
+    perm is a free input transpose, the output perm a cheap final
+    transpose — and keeps the factorization with the smallest total stage
+    footprint (the passes are bandwidth-bound, so stage voxels ~ runtime).
+    """
+    N = np.asarray(N, np.float64)
+    c = np.asarray(c, np.float64)
+    plan = ShearPlan()
+    plan.src_shape = tuple(int(s) for s in src_shape)
+    plan.out_shape = tuple(int(s) for s in out_shape)
+
+    best = None
+    for out_perm in permutations(range(3)):
+        Nc = N[:, list(out_perm)]
+        out_shape_p = tuple(plan.out_shape[k] for k in out_perm)
+        for perm in permutations(range(3)):
+            ops, ok = _peel(Nc[list(perm), :])
+            if not ok:
+                continue
+            cand = ShearPlan()
+            cand.src_shape = plan.src_shape
+            cand.out_shape = plan.out_shape
+            cand.valid = True
+            _finish_plan(cand, perm, out_perm, ops, c[list(perm)],
+                         out_shape_p, round_extent)
+            # float math: ill-conditioned factorizations produce extents
+            # that overflow int64 products
+            cost = sum(
+                float(np.prod([float(e) for (_, e) in st]))
+                for st in cand.stages
+            )
+            if best is None or cost < best[0]:
+                best = (cost, cand)
+    if best is None:
+        plan.valid = False
+        plan.perm, plan.out_perm, plan.ops, plan.stages = None, None, [], []
+        return plan
+    return best[1]
+
+
 # ------------------------------------------------------------------ executors
+def _tap_parts(pos, xp, method):
+    """(index, weight) taps for one pass at fractional positions `pos`.
+    method: 'nearest' (1 tap), 'linear' (2), 'cubic' (Catmull-Rom, 4 —
+    sharper composition: separable linear passes stack ~3 lerps per axis,
+    tripling the blur variance of joint trilinear; Catmull-Rom keeps the
+    passband flat and is exact on cubic fields)."""
+    if method == "nearest":
+        if xp is np:
+            return [(np.round(pos).astype(np.int64), None)]
+        return [(xp.round(pos).astype(xp.int32), None)]
+    i0f = xp.floor(pos)
+    f = pos - i0f
+    idx0 = i0f.astype(np.int64 if xp is np else xp.int32)
+    if method == "linear":
+        return [(idx0, 1.0 - f), (idx0 + 1, f)]
+    if method != "cubic":
+        raise ValueError(f"unknown method {method!r}")
+    f2, f3 = f * f, f * f * f
+    return [
+        (idx0 - 1, -0.5 * f + f2 - 0.5 * f3),
+        (idx0, 1.0 - 2.5 * f2 + 1.5 * f3),
+        (idx0 + 1, 0.5 * f + 2.0 * f2 - 1.5 * f3),
+        (idx0 + 2, -0.5 * f2 + 0.5 * f3),
+    ]
+
+
 def _lift(x, m, q, L_out):
     """(nq, L_out) plane -> rank-4 array with L_out at axis m, nq at axis q
     (q may be None), 1 elsewhere (broadcast form for take_along_axis)."""
@@ -277,14 +341,7 @@ def _pass_jnp(A, op, method="linear"):
         pos = pos[None, :] + op.beta * b[:, None]  # (nq, L_out)
     else:
         pos = pos[None, :]
-    if method == "nearest":
-        idx0 = jnp.round(pos).astype(jnp.int32)
-        parts = [(idx0, None)]
-    else:
-        i0f = jnp.floor(pos)
-        f = pos - i0f
-        idx0 = i0f.astype(jnp.int32)
-        parts = [(idx0, 1.0 - f), (idx0 + 1, f)]
+    parts = _tap_parts(pos, jnp, method)
     out = None
     for idx, w in parts:
         valid = (idx >= 0) & (idx < L_in)
@@ -317,12 +374,15 @@ def exact_inside_mask(N, c, src_shape, out_shape):
 
 
 def shear_resample(src, plan: ShearPlan, fill, method="linear",
-                   compute_dtype=jnp.float32, exact_bounds=None):
+                   compute_dtype=jnp.float32, exact_bounds=None,
+                   out_dtype=None):
     """Execute a ShearPlan on device.
 
-    src: (S0, S1, S2, C). Returns out_shape + (C,) in compute_dtype with
-    `fill` (C,) where the map lands outside src. Jittable; `plan` must be
-    closed over (static).
+    src: (S0, S1, S2, C). Returns out_shape + (C,) in out_dtype (defaults
+    to compute_dtype) with `fill` (C,) where the map lands outside src.
+    Jittable; `plan` must be closed over (static). compute_dtype=bfloat16
+    halves the bandwidth of every pass (the passes are bandwidth-bound);
+    the final validity division then runs in out_dtype.
 
     exact_bounds: optional (N, c) or (N, c, bounds_shape) of the planned
     affine; when given, the inside/outside decision uses the closed-form
@@ -331,13 +391,18 @@ def shear_resample(src, plan: ShearPlan, fill, method="linear",
     bounds_shape overrides src's shape in the rule (e.g. to treat padded
     tail planes as out-of-bounds)."""
     C = src.shape[-1]
+    out_dtype = out_dtype or compute_dtype
     A = src.astype(compute_dtype)
     A = jnp.concatenate(
         [A, jnp.ones(A.shape[:3] + (1,), compute_dtype)], axis=-1)
     A = jnp.transpose(A, plan.perm + (3,))
     for op in plan.ops:
         A = _pass_jnp(A, op, method)
-    data, valid = A[..., :C], A[..., C]
+    if plan.out_perm != (0, 1, 2):
+        inv = tuple(int(i) for i in np.argsort(plan.out_perm))
+        A = jnp.transpose(A, inv + (3,))
+    data = A[..., :C].astype(out_dtype)
+    valid = A[..., C].astype(out_dtype)
     if exact_bounds is not None:
         N, c = exact_bounds[0], exact_bounds[1]
         bshape = exact_bounds[2] if len(exact_bounds) > 2 else plan.src_shape
@@ -348,7 +413,7 @@ def shear_resample(src, plan: ShearPlan, fill, method="linear",
     # carried validity; clamp so exact-inside voxels with tiny validity
     # (deep shear corners) stay bounded
     safe = jnp.maximum(valid, 0.05)[..., None]
-    fill = jnp.asarray(fill, compute_dtype)
+    fill = jnp.asarray(fill, out_dtype)
     return jnp.where(ok[..., None], data / safe, fill)
 
 
@@ -405,12 +470,7 @@ def _pass_np(A, op, method="linear"):
         pos = pos[None, :] + op.beta * b[:, None]
     else:
         pos = pos[None, :]
-    if method == "nearest":
-        parts = [(np.round(pos).astype(np.int64), None)]
-    else:
-        i0 = np.floor(pos).astype(np.int64)
-        f = pos - i0
-        parts = [(i0, 1.0 - f), (i0 + 1, f)]
+    parts = _tap_parts(pos, np, method)
 
     def lift(x):
         nq = x.shape[0]
@@ -446,6 +506,8 @@ def shear_resample_np(src, plan: ShearPlan, fill, method="linear",
     A = np.transpose(A, plan.perm + (3,))
     for op in plan.ops:
         A = _pass_np(A, op, method)
+    if plan.out_perm != (0, 1, 2):
+        A = np.transpose(A, tuple(np.argsort(plan.out_perm)) + (3,))
     data, valid = A[..., :C], A[..., C]
     if exact_bounds is not None:
         N, c = exact_bounds[0], exact_bounds[1]

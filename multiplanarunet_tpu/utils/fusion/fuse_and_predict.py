@@ -6,8 +6,8 @@ then a 7-thread nearest remap of the full prediction hyper-volume
 (`mpunet/utils/fusion/fuse_and_predict.py`, `bin/predict.py:294-346`). Here
 each view is ONE jitted graph executed entirely on device:
 
-    plane-stack gather  ->  U-Net over plane chunks (lax.scan)
-        ->  affine nearest remap onto the (padded) voxel grid
+    plane-stack resample  ->  U-Net over plane chunks (lax.scan)
+        ->  affine remap onto the (padded) voxel grid
         ->  weighted accumulation into the fusion sum (donated buffer)
 
 and the final fusion (learned per-class-per-view weights or plain sum) is a
@@ -15,6 +15,21 @@ bias + softmax + argmax on the accumulated volume. Because the FusionModel is
 linear in the per-view probabilities, accumulating ``W[v] * mapped_v``
 per view IS the fusion — the (n_voxels, n_views, n_classes) stack the
 reference materializes (`bin/predict.py:349-366`) never exists.
+
+Two resamplers drive the plane extraction / prediction remap stages:
+
+  * ``gather``: exact single-gather trilinear over a corner-packed volume
+    (reference semantics bit-for-bit; `ops.interp`). Both stages run at the
+    TPU's gather throughput ceiling (~250 ms/view at 256^3).
+  * ``shear`` (default via ``auto``): shear-decomposed affine resampling
+    (`ops.shear`) — 9 elementary take_along_axis passes per stage, lowered
+    to contiguous slices (bandwidth-bound, ~10x the gather throughput).
+    Separable-linear instead of joint-trilinear blending; parity-gated
+    against the gather path in tests/test_predict_graph.py.
+
+``auto`` uses shear whenever every view's affine factors within the memory
+guard and falls back to the exact gather path otherwise (singular planes,
+very large volumes).
 """
 
 from __future__ import annotations
@@ -31,10 +46,39 @@ from multiplanarunet_tpu.ops.interp import (
     sample_plane_stack_packed,
     scatter_box_pred,
 )
+from multiplanarunet_tpu.ops.shear import (
+    plan_plane_stack,
+    plan_view_remap,
+    shear_resample,
+)
 
 
 def _pad_planes(n, chunk):
     return -(-n // chunk) * chunk
+
+
+def _plan_signature(plan, bounds):
+    """Hashable identity of a ShearPlan + exact-bounds constants (all of
+    which are baked into the compiled graph)."""
+    ops = tuple(
+        (o.m, o.q, o.alpha, o.beta, o.gamma,
+         o.in_lo, o.in_extent, o.out_lo, o.out_extent, o.q_lo)
+        for o in plan.ops
+    )
+    N, c = np.asarray(bounds[0]), np.asarray(bounds[1])
+    return (plan.perm, plan.out_perm, ops, plan.src_shape, plan.out_shape,
+            N.tobytes(), c.tobytes(),
+            tuple(int(s) for s in bounds[2]))
+
+
+def _plan_stage_bytes(plan, n_channels):
+    """Largest intermediate stage of a ShearPlan in bytes (float32 compute,
+    +1 for the validity channel). Float math — degenerate plans can have
+    extents whose product overflows int64."""
+    return max(
+        float(np.prod([float(ext) for (_, ext) in stage]))
+        for stage in plan.stages
+    ) * (n_channels + 1) * 4
 
 
 class MultiViewPredictor:
@@ -42,8 +86,12 @@ class MultiViewPredictor:
     configuration; reusable across images (recompiles only when the padded
     volume bucket shape changes)."""
 
+    # Per-stage f32 footprint above which a shear plan falls back to gather
+    # (two stages are live at once; leaves room for the U-Net + accumulator).
+    _SHEAR_STAGE_BYTES_MAX = 2.6e9
+
     def __init__(self, model, variables, sample_dim, real_space_span,
-                 n_classes, chunk=None, logger=None):
+                 n_classes, chunk=None, logger=None, resampler="auto"):
         self.model = model
         self.variables = variables
         self.dim = int(sample_dim)
@@ -64,7 +112,16 @@ class MultiViewPredictor:
             chunk = 32 if self.dim <= 256 else 8
         self.chunk = int(chunk)
         self.logger = logger
-        self._view_fn = None
+        if resampler not in ("auto", "shear", "gather"):
+            raise ValueError(
+                f"resampler must be 'auto', 'shear' or 'gather'; "
+                f"got {resampler!r}"
+            )
+        self.resampler = resampler
+        self._view_fn = None    # per-view gather graph (argmax side output)
+        self._scan_fn = None    # single-dispatch gather view-scan graph
+        self._unet_fn = None    # shared plane-stack U-Net (shear path)
+        self._shear_fns = {}    # plan signature -> jitted resample fn
 
     # ---------------------------------------------------------- jit factory
     def _build(self):
@@ -115,6 +172,191 @@ class MultiViewPredictor:
 
         return predict_view
 
+    def _build_scan(self):
+        """Single-dispatch gather fast path: lax.scan over stacked per-view
+        parameters with the fusion accumulation as carry and bias + argmax in
+        graph — no per-view dispatches, no unused per-view argmax work."""
+        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+        nc = self.n_classes
+
+        @partial(jax.jit, static_argnames=("out_shape", "n_valid_planes",
+                                           "return_probs"))
+        def predict_views_scan(variables, volume, origin, spacing, rot,
+                               valid_shape, offsets, fill, bases, Ms, ts, ws,
+                               b, out_shape, n_valid_planes,
+                               return_probs=False):
+            g0 = -jnp.floor_divide(jnp.asarray(span, jnp.float32), 2.0)
+            g_step = (-2.0 * g0) / (dim - 1)
+            o_step = offsets[1] - offsets[0]
+
+            def body(accum, xs):
+                basis, M, t, w_v = xs
+                stack = sample_plane_stack_packed(
+                    volume, origin, spacing, rot, basis, offsets, span, dim,
+                    fill, valid_shape=valid_shape,
+                )
+                planes = jnp.moveaxis(stack, 2, 0)
+                chunks = planes.reshape(-1, chunk, dim, dim,
+                                        planes.shape[-1])
+
+                def unet(_, xs2):
+                    return None, model.apply(variables, xs2, train=False)
+
+                _, probs = jax.lax.scan(unet, None, chunks)
+                pred = jnp.moveaxis(
+                    probs.reshape(-1, dim, dim, nc), 0, 2
+                ).astype(jnp.bfloat16)
+                mapped = map_view_pred_affine(
+                    pred, g0, g_step, offsets[0], o_step, M, t, out_shape,
+                    n_valid_planes,
+                ).astype(jnp.float32)
+                return accum + w_v * mapped, None
+
+            accum = jnp.zeros(out_shape + (nc,), jnp.float32)
+            accum, _ = jax.lax.scan(body, accum, (bases, Ms, ts, ws))
+            if return_probs:
+                return accum
+            # argmax is invariant to the sum-fusion 1/n_views scaling and to
+            # softmax, so bias + argmax IS the fused class map
+            return jnp.argmax(accum + b, axis=-1).astype(jnp.uint8)
+
+        return predict_views_scan
+
+    def _build_unet_stack(self):
+        """Shared plane-stack U-Net for the shear path (compiled once; the
+        per-view shear graphs around it are small and recompile cheaply)."""
+        model, chunk, dim = self.model, self.chunk, self.dim
+
+        @jax.jit
+        def unet_stack(variables, stack):
+            planes = jnp.moveaxis(stack, 2, 0)  # (P_pad, d, d, C)
+            P_pad = planes.shape[0]
+            chunks = planes.reshape(P_pad // chunk, chunk, dim, dim,
+                                    planes.shape[-1])
+
+            def body(_, xs):
+                return None, model.apply(variables, xs, train=False)
+
+            _, probs = jax.lax.scan(body, None, chunks)
+            return jnp.moveaxis(probs.reshape(P_pad, dim, dim, -1), 0, 2)
+
+        return unet_stack
+
+    # ------------------------------------------------------------ shear path
+    def _grid_params(self, offsets):
+        """(g0, g_step, o0, o_step) of the plane sample grid — host floats
+        (identical to the device-side computation in the gather graphs)."""
+        g0 = float(-(self.span // 2))
+        g_step = (-2.0 * g0) / (self.dim - 1)
+        return g0, g_step, float(offsets[0]), float(offsets[1] - offsets[0])
+
+    def _shear_fn(self, kind, plan, bounds, fill=None):
+        """Cached jitted shear resample for one (plan, bounds) — reused
+        across repeated predictions with the same geometry."""
+        key = (kind, _plan_signature(plan, bounds),
+               None if fill is None else np.asarray(fill).tobytes())
+        fn = self._shear_fns.get(key)
+        if fn is not None:
+            return fn
+        if kind == "stack":
+            fill = np.asarray(fill, np.float32)
+
+            @jax.jit
+            def fn(volume):
+                # Catmull-Rom passes: separable linear would stack ~3 lerps
+                # per axis (3x the blur variance of joint trilinear), which
+                # costs real dice through a trained net; cubic keeps the
+                # input sharp for 2x the taps on the cheap 2-channel stage.
+                # bf16 (bandwidth-bound); the U-Net computes in bf16 anyway.
+                return shear_resample(volume, plan, fill, method="cubic",
+                                      compute_dtype=jnp.bfloat16,
+                                      exact_bounds=bounds)
+        else:
+            onehot_bg = np.zeros((self.n_classes,), np.float32)
+            onehot_bg[0] = 1.0
+
+            @partial(jax.jit, static_argnames=("want_argmax",),
+                     donate_argnums=(1,))
+            def fn(pred, accum, w_v, want_argmax=False):
+                # bf16 probability passes, f32 validity division + fusion
+                # accumulation
+                mapped = shear_resample(pred, plan, onehot_bg,
+                                        method="linear",
+                                        compute_dtype=jnp.bfloat16,
+                                        out_dtype=jnp.float32,
+                                        exact_bounds=bounds)
+                side = (jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
+                        if want_argmax else None)
+                return accum + w_v * mapped, side
+
+        self._shear_fns[key] = fn
+        return fn
+
+    def _plan_shear_views(self, image, bases, Mts, offsets, n_valid):
+        """Per-view (stack_fn, remap_fn) pairs for the shear resampler, or
+        None when any view's affine fails to factor or exceeds the memory
+        guard (the caller falls back to the exact gather path)."""
+        sampler = image.interpolator
+        rot = (np.eye(3) if sampler.rot_mat is None
+               else np.asarray(sampler.rot_mat, np.float64))
+        vol_shape = sampler.padded_shape()
+        g0, g_step, o0, o_step = self._grid_params(offsets)
+        P_pad = len(offsets)
+        valid_shape = tuple(int(s) for s in sampler.valid_shape)
+        fill = np.asarray(sampler.scaled_bg_value, np.float32)
+        n_ch = int(sampler.n_channels)
+
+        fns = []
+        for basis, (M, t) in zip(bases, Mts):
+            s_plan, s_Nc = plan_plane_stack(
+                basis, rot, sampler.origin, sampler.spacing,
+                g0, g_step, o0, o_step, vol_shape, self.dim, P_pad,
+            )
+            r_plan, r_Nc = plan_view_remap(
+                M, t, g0, g_step, o0, o_step,
+                (self.dim, self.dim, P_pad), vol_shape,
+            )
+            if not (s_plan.valid and r_plan.valid):
+                return None
+            if (_plan_stage_bytes(s_plan, n_ch) > self._SHEAR_STAGE_BYTES_MAX
+                    or _plan_stage_bytes(r_plan, self.n_classes)
+                    > self._SHEAR_STAGE_BYTES_MAX):
+                return None
+            stack_fn = self._shear_fn(
+                "stack", s_plan, s_Nc + (valid_shape,), fill=fill)
+            # Padded tail planes are out-of-bounds for the remap, exactly as
+            # the gather path's n_valid_planes treats them
+            remap_fn = self._shear_fn(
+                "remap", r_plan, r_Nc + ((self.dim, self.dim, n_valid),))
+            fns.append((stack_fn, remap_fn))
+        return fns
+
+    def _run_shear(self, image, views, shear_fns, W, return_per_view,
+                   true_shape):
+        sampler = image.interpolator
+        volume = sampler.device_volume_unpacked()
+        out_shape = tuple(int(s) for s in volume.shape[:3])
+        if self._unet_fn is None:
+            self._unet_fn = self._build_unet_stack()
+        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+        per_view = [] if return_per_view else None
+        for v, (stack_fn, remap_fn) in enumerate(shear_fns):
+            if self.logger:
+                self.logger(f"View {v + 1}/{len(views)}: "
+                            f"{np.round(views[v], 4)} (shear)")
+            w_v = (jnp.asarray(W[v]) if W is not None
+                   else jnp.ones((self.n_classes,), jnp.float32))
+            stack = stack_fn(volume)
+            pred = self._unet_fn(self.variables, stack)
+            accum, argmax_v = remap_fn(pred, accum, w_v,
+                                       want_argmax=return_per_view)
+            if return_per_view:
+                per_view.append(np.asarray(
+                    argmax_v[: true_shape[0], : true_shape[1],
+                             : true_shape[2]]
+                ))
+        return accum, per_view
+
     # -------------------------------------------------------------- running
     def _prepare_offsets(self, image, n_planes):
         """(chunk-padded offsets, n_valid) for an n_planes spec."""
@@ -136,6 +378,60 @@ class MultiViewPredictor:
         return ((inv_basis @ A).astype(np.float32),
                 (-inv_basis @ center).astype(np.float32))
 
+    def _fusion_Wb(self, fusion_params, n_views):
+        """Per-view weights W (or None for sum fusion) + bias b (zeros when
+        unfused — argmax-neutral)."""
+        if fusion_params is None:
+            return None, np.zeros((self.n_classes,), np.float32)
+        W = np.asarray(fusion_params["fusion"]["W"], np.float32)
+        if W.shape[0] != n_views:
+            raise ValueError(
+                f"Fusion weights cover {W.shape[0]} views, got {n_views}"
+            )
+        b = np.asarray(fusion_params["fusion"]["b"], np.float32).reshape(-1)
+        return W, b
+
+    def _fuse_tail(self, accum, fusion_params, b, n_views, return_probs,
+                   true_shape):
+        """accum -> fused output on host (argmax uint8 or probability
+        volume), cropped to the true shape."""
+        if fusion_params is not None:
+            fused_dev = jax.nn.softmax(accum + jnp.asarray(b), axis=-1)
+        else:
+            fused_dev = accum / n_views
+        if not return_probs:
+            # Ship only the argmax class map to host (uint8) — the full
+            # softmax volume is nc x 4 bytes/voxel and dominates wall time
+            # on remote-device transports
+            fused_dev = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
+        return np.asarray(
+            fused_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
+        )
+
+    def prestage(self, image, views=None, n_planes="same+20"):
+        """Stage this image's volume to the device in the form the
+        configured resampler will consume (call from an IO thread to overlap
+        the host->device transfer with the previous image's inference)."""
+        sampler = image.interpolator
+        if getattr(self, "mesh", None) is not None:
+            # predict_image_sharded consumes the corner-packed volume
+            sampler.device_volume_packed()
+            return
+        if self.resampler == "shear":
+            sampler.device_volume_unpacked()
+            return
+        if self.resampler == "auto" and views is not None:
+            true_shape = tuple(int(s) for s in image.shape[:3])
+            offsets, n_valid = self._prepare_offsets(image, n_planes)
+            bases = [geometry.plane_basis(v, noise_sd=0.0) for v in views]
+            Mts = [self._remap_transform(image, b, true_shape)
+                   for b in bases]
+            if self._plan_shear_views(image, bases, Mts, offsets,
+                                      n_valid) is not None:
+                sampler.device_volume_unpacked()
+                return
+        sampler.device_volume_packed()
+
     def predict_image(self, image, views, fusion_params=None,
                       n_planes="same+20", return_per_view=True,
                       return_probs=False):
@@ -145,65 +441,84 @@ class MultiViewPredictor:
         None). `fused` is the argmax class map (uint8) by default; pass
         return_probs=True for the full softmax volume (nc x the transfer
         size — significant on remote-device transports)."""
-        if self._view_fn is None:
-            self._view_fn = self._build()
-
         sampler = image.interpolator
-        volume = sampler.device_volume_packed()
-        out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
         true_shape = tuple(int(s) for s in image.shape[:3])
-
-        # Plane offsets (per-image: by_radius varies, same+N fixed)
         offsets, n_valid = self._prepare_offsets(image, n_planes)
-
-        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
-        per_view = [] if return_per_view else None
         n_views = len(views)
-        W = None
-        if fusion_params is not None:
-            W = np.asarray(fusion_params["fusion"]["W"], np.float32)
-            if W.shape[0] != n_views:
+        W, b = self._fusion_Wb(fusion_params, n_views)
+
+        bases = [geometry.plane_basis(view, noise_sd=0.0) for view in views]
+        Mts = [self._remap_transform(image, basis, true_shape)
+               for basis in bases]
+
+        shear_fns = None
+        if self.resampler in ("auto", "shear"):
+            shear_fns = self._plan_shear_views(image, bases, Mts, offsets,
+                                               n_valid)
+            if shear_fns is None and self.resampler == "shear":
                 raise ValueError(
-                    f"Fusion weights cover {W.shape[0]} views, got {n_views}"
+                    "resampler='shear' requested but a view affine does not "
+                    "factor within the memory guard; use 'auto' (falls back "
+                    "to the exact gather path) or 'gather'"
                 )
 
+        if shear_fns is not None:
+            accum, per_view = self._run_shear(
+                image, views, shear_fns, W, return_per_view, true_shape)
+            return (self._fuse_tail(accum, fusion_params, b, n_views,
+                                    return_probs, true_shape), per_view)
+
+        volume = sampler.device_volume_packed()
+        out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
+        common = (self.variables, volume,
+                  jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+                  sampler.device_rot(), jnp.asarray(sampler.valid_shape))
+
+        if not return_per_view:
+            # Single dispatch: scan over stacked per-view parameters
+            if self._scan_fn is None:
+                self._scan_fn = self._build_scan()
+            ws = (W if W is not None
+                  else np.ones((n_views, self.n_classes), np.float32))
+            out = self._scan_fn(
+                *common, jnp.asarray(offsets),
+                jnp.asarray(sampler.scaled_bg_value),
+                jnp.asarray(np.stack(bases)),
+                jnp.asarray(np.stack([M for M, _ in Mts])),
+                jnp.asarray(np.stack([t for _, t in Mts])),
+                jnp.asarray(ws), jnp.asarray(b),
+                out_shape=out_shape, n_valid_planes=n_valid,
+                return_probs=return_probs,
+            )
+            if not return_probs:  # bias + argmax already in the graph
+                return np.asarray(
+                    out[: true_shape[0], : true_shape[1], : true_shape[2]]
+                ), None
+            return (self._fuse_tail(out, fusion_params, b, n_views,
+                                    return_probs, true_shape), None)
+
+        if self._view_fn is None:
+            self._view_fn = self._build()
+        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+        per_view = []
         for v, view in enumerate(views):
-            basis = geometry.plane_basis(view, noise_sd=0.0)
-            M, t = self._remap_transform(image, basis, true_shape)
             w_v = (jnp.asarray(W[v]) if W is not None
                    else jnp.ones((self.n_classes,), jnp.float32))
             if self.logger:
                 self.logger(f"View {v + 1}/{n_views}: {np.round(view, 4)} "
                             f"({n_valid} planes)")
             accum, argmax_v = self._view_fn(
-                self.variables, volume,
-                jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
-                sampler.device_rot(), jnp.asarray(sampler.valid_shape),
-                jnp.asarray(basis), jnp.asarray(offsets),
+                *common, jnp.asarray(bases[v]), jnp.asarray(offsets),
                 jnp.asarray(sampler.scaled_bg_value), w_v, accum,
-                jnp.asarray(M), jnp.asarray(t),
+                jnp.asarray(Mts[v][0]), jnp.asarray(Mts[v][1]),
                 out_shape, n_valid,
             )
-            if return_per_view:
-                per_view.append(np.asarray(
-                    argmax_v[: true_shape[0], : true_shape[1], : true_shape[2]]
-                ))
+            per_view.append(np.asarray(
+                argmax_v[: true_shape[0], : true_shape[1], : true_shape[2]]
+            ))
 
-        if fusion_params is not None:
-            b = jnp.asarray(np.asarray(fusion_params["fusion"]["b"],
-                                       np.float32))[0]
-            fused_dev = jax.nn.softmax(accum + b, axis=-1)
-        else:
-            fused_dev = accum / n_views
-        if not return_probs:
-            # Ship only the argmax class map to host (uint8) — the full
-            # softmax volume is nc x 4 bytes/voxel and dominates wall time
-            # on remote-device transports
-            fused_dev = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
-        fused = np.asarray(
-            fused_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
-        )
-        return fused, per_view
+        return (self._fuse_tail(accum, fusion_params, b, n_views,
+                                return_probs, true_shape), per_view)
 
     # ------------------------------------------------------- multi-chip path
     def predict_image_sharded(self, image, views, mesh, fusion_params=None,
@@ -326,7 +641,9 @@ class MultiViewPredictor:
     def predict_views_mapped(self, image, views, n_planes="same+20"):
         """Per-view mapped probability volumes (for fusion training).
 
-        Returns (n_views, X, Y, Z, nc) float32 on host (true shape)."""
+        Always uses the exact gather path (fusion-weight training wants
+        reference-exact per-view probabilities). Returns
+        (n_views, X, Y, Z, nc) float32 on host (true shape)."""
         if self._view_fn is None:
             self._view_fn = self._build()
         sampler = image.interpolator

@@ -61,41 +61,53 @@ def label_image(tmp_path_factory):
     return pair, lab
 
 
-def _predictor():
+def _predictor(resampler="auto"):
     model = OneHotOracle()
     variables = {"params": {}}
     return MultiViewPredictor(
         model, variables, sample_dim=SIZE, real_space_span=float(SIZE - 2),
-        n_classes=N_CLASSES, chunk=4,
+        n_classes=N_CLASSES, chunk=4, resampler=resampler,
     )
 
 
-def test_multi_view_predict_reconstructs_labels(label_image):
+@pytest.mark.parametrize("resampler,thresh,thresh_v,sum_atol",
+                         [("gather", 0.97, 0.93, 1e-4),
+                          ("shear", 0.95, 0.91, 1e-2)])
+def test_multi_view_predict_reconstructs_labels(label_image, resampler,
+                                                thresh, thresh_v, sum_atol):
+    """Oracle reconstruction per resampler. The shear threshold is slightly
+    lower: its separable-linear FORWARD sampling smooths the label-as-
+    intensity input more than joint trilinear, which the round()-oracle
+    punishes at structure boundaries (production inputs are real
+    intensities, where this is a sub-voxel blur; the remap itself is
+    geometry-exact — see test_shear.test_affine_field_exact)."""
     pair, lab = label_image
     rng = np.random.RandomState(3)
     views = geometry.get_random_views(4, rng=rng)
-    pred = _predictor()
+    pred = _predictor(resampler)
     fused, per_view = pred.predict_image(pair, views, fusion_params=None,
                                          n_planes="same+20",
                                          return_probs=True)
     assert fused.shape == lab.shape + (N_CLASSES,)
-    np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(fused.sum(-1), 1.0, atol=sum_atol)
     fused_cls = fused.argmax(-1)
     # Interior accuracy must be near-perfect (boundary voxels can flip)
     interior = np.zeros_like(lab, bool)
     interior[2:-2, 2:-2, 2:-2] = True
     acc = (fused_cls == lab)[interior].mean()
-    assert acc > 0.97, acc
+    assert acc > thresh, acc
     # Each per-view argmax map is itself a good reconstruction
     for pv in per_view:
         acc_v = (pv == lab)[interior].mean()
-        assert acc_v > 0.93, acc_v
+        assert acc_v > thresh_v, acc_v
 
 
-def test_learned_fusion_weights_apply(label_image):
+@pytest.mark.parametrize("resampler,thresh", [("gather", 0.97),
+                                              ("shear", 0.95)])
+def test_learned_fusion_weights_apply(label_image, resampler, thresh):
     pair, lab = label_image
     views = geometry.get_random_views(3, rng=np.random.RandomState(1))
-    pred = _predictor()
+    pred = _predictor(resampler)
     fusion_params = {
         "fusion": {
             "W": np.ones((3, N_CLASSES), np.float32),
@@ -107,7 +119,7 @@ def test_learned_fusion_weights_apply(label_image):
     np.testing.assert_allclose(fused.sum(-1), 1.0, atol=1e-4)
     interior = np.zeros_like(lab, bool)
     interior[2:-2, 2:-2, 2:-2] = True
-    assert (fused.argmax(-1) == lab)[interior].mean() > 0.97
+    assert (fused.argmax(-1) == lab)[interior].mean() > thresh
 
 
 def test_scan_fast_path_matches_per_view_loop(label_image):
@@ -116,7 +128,7 @@ def test_scan_fast_path_matches_per_view_loop(label_image):
     fusion weights."""
     pair, lab = label_image
     views = geometry.get_random_views(3, rng=np.random.RandomState(5))
-    pred = _predictor()
+    pred = _predictor(resampler="gather")
     rngw = np.random.RandomState(7)
     fusion_params = {
         "fusion": {
@@ -135,6 +147,56 @@ def test_scan_fast_path_matches_per_view_loop(label_image):
                                            return_per_view=False,
                                            return_probs=True)
         np.testing.assert_array_equal(fast, slow_probs.argmax(-1))
+        # ... and against the per-view loop graph (same accumulation order;
+        # XLA fusion may round differently, so require near-total agreement)
+        loop_fused, loop_pv = pred.predict_image(pair, views,
+                                                 fusion_params=fp,
+                                                 n_planes="same+4",
+                                                 return_per_view=True)
+        assert len(loop_pv) == 3
+        assert (fast == loop_fused).mean() > 0.999
+
+
+def test_shear_resampler_matches_gather(label_image):
+    """Parity gate for the shear-decomposed resampler (the default via
+    'auto'): fused argmax and per-view maps must agree with the exact
+    gather path away from structure boundaries."""
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(11))
+    pred_g = _predictor(resampler="gather")
+    pred_s = _predictor(resampler="shear")  # must NOT silently fall back
+
+    fused_g, pv_g = pred_g.predict_image(pair, views, n_planes="same+4")
+    fused_s, pv_s = pred_s.predict_image(pair, views, n_planes="same+4")
+    assert (fused_g == fused_s).mean() > 0.97
+    for a, b in zip(pv_g, pv_s):
+        assert (a == b).mean() > 0.95
+    # The shear path must reconstruct the oracle labels nearly as well as
+    # gather (see the threshold note on the reconstruction test)
+    interior = np.zeros_like(lab, bool)
+    interior[2:-2, 2:-2, 2:-2] = True
+    assert (fused_s == lab)[interior].mean() > 0.95
+
+
+def test_auto_resampler_uses_shear_and_prestage(label_image):
+    """'auto' must resolve to shear for a well-conditioned geometry, and
+    prestage() must stage the unpacked volume it will consume."""
+    pair, _ = label_image
+    views = geometry.get_random_views(2, rng=np.random.RandomState(12))
+    pred = _predictor(resampler="auto")
+    sampler = pair.interpolator
+    sampler.unload_device()
+    try:
+        pred.prestage(pair, views, n_planes="same+4")
+        assert sampler._device_volume_unpacked is not None
+        assert sampler._device_volume_packed is None
+        fused, _ = pred.predict_image(pair, views, n_planes="same+4",
+                                      return_per_view=False)
+        assert fused.dtype == np.uint8
+        # the shear fn cache was used (plans resolved to shear)
+        assert len(pred._shear_fns) > 0
+    finally:
+        sampler.unload_device()
 
 
 def test_predict_views_mapped_stack(label_image):
@@ -211,7 +273,7 @@ def test_sharded_multichip_predict_matches_sequential(label_image):
 
     pair, lab = label_image
     views = geometry.get_random_views(5, rng=np.random.RandomState(7))
-    pred = _predictor()
+    pred = _predictor(resampler="gather")  # sharded path is gather-exact
     mesh = get_mesh()  # 8 virtual CPU devices (conftest)
     assert mesh.devices.size == 8
 
