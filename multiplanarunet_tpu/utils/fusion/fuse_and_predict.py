@@ -71,6 +71,23 @@ def _plan_signature(plan, bounds):
             tuple(int(s) for s in bounds[2]))
 
 
+def _pack_class_map(cls_dev):
+    """uint8 class map -> two-voxel-per-byte nibble pack along Z (device
+    side; the padded bucket Z is always even). Halves the device->host
+    transfer of the fused map — significant on remote-device transports."""
+    return cls_dev[..., 0::2] | (cls_dev[..., 1::2] << 4)
+
+
+def _unpack_class_map(packed, true_shape):
+    """Host-side inverse of `_pack_class_map`, cropped to true_shape."""
+    packed = np.asarray(packed)
+    X, Y, Zh = packed.shape
+    out = np.empty((X, Y, 2 * Zh), np.uint8)
+    out[..., 0::2] = packed & 0x0F
+    out[..., 1::2] = packed >> 4
+    return out[: true_shape[0], : true_shape[1], : true_shape[2]]
+
+
 def _plan_stage_bytes(plan, n_channels):
     """Largest intermediate stage of a ShearPlan in bytes (float32 compute,
     +1 for the validity channel). Float math — degenerate plans can have
@@ -168,6 +185,8 @@ class MultiViewPredictor:
                 side = mapped
             else:
                 side = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
+                if mapped.shape[-1] <= 16 and out_shape[2] % 2 == 0:
+                    side = _pack_class_map(side)
             return accum + w_v * mapped, side
 
         return predict_view
@@ -218,7 +237,10 @@ class MultiViewPredictor:
                 return accum
             # argmax is invariant to the sum-fusion 1/n_views scaling and to
             # softmax, so bias + argmax IS the fused class map
-            return jnp.argmax(accum + b, axis=-1).astype(jnp.uint8)
+            cls = jnp.argmax(accum + b, axis=-1).astype(jnp.uint8)
+            if nc <= 16 and out_shape[2] % 2 == 0:
+                cls = _pack_class_map(cls)
+            return cls
 
         return predict_views_scan
 
@@ -285,8 +307,12 @@ class MultiViewPredictor:
                                         compute_dtype=jnp.bfloat16,
                                         out_dtype=jnp.float32,
                                         exact_bounds=bounds)
-                side = (jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
-                        if want_argmax else None)
+                side = None
+                if want_argmax:
+                    side = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
+                    if (mapped.shape[-1] <= 16
+                            and mapped.shape[2] % 2 == 0):
+                        side = _pack_class_map(side)
                 return accum + w_v * mapped, side
 
         self._shear_fns[key] = fn
@@ -351,11 +377,17 @@ class MultiViewPredictor:
             accum, argmax_v = remap_fn(pred, accum, w_v,
                                        want_argmax=return_per_view)
             if return_per_view:
-                per_view.append(np.asarray(
-                    argmax_v[: true_shape[0], : true_shape[1],
-                             : true_shape[2]]
-                ))
+                per_view.append(self._fetch_class_map(argmax_v, out_shape,
+                                                      true_shape))
         return accum, per_view
+
+    def _fetch_class_map(self, cls_dev, out_shape, true_shape):
+        """Fetch a per-view class map that may be nibble-packed on device."""
+        if self.n_classes <= 16 and out_shape[2] % 2 == 0:
+            return _unpack_class_map(cls_dev, true_shape)
+        return np.asarray(
+            cls_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
+        )
 
     # -------------------------------------------------------------- running
     def _prepare_offsets(self, image, n_planes):
@@ -400,10 +432,15 @@ class MultiViewPredictor:
         else:
             fused_dev = accum / n_views
         if not return_probs:
-            # Ship only the argmax class map to host (uint8) — the full
-            # softmax volume is nc x 4 bytes/voxel and dominates wall time
-            # on remote-device transports
-            fused_dev = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
+            # Ship only the argmax class map to host (uint8; nibble-packed
+            # when classes fit) — the full softmax volume is nc x 4
+            # bytes/voxel and dominates wall time on remote transports
+            cls = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
+            if self.n_classes <= 16 and cls.shape[2] % 2 == 0:
+                return _unpack_class_map(_pack_class_map(cls), true_shape)
+            return np.asarray(
+                cls[: true_shape[0], : true_shape[1], : true_shape[2]]
+            )
         return np.asarray(
             fused_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
         )
@@ -490,7 +527,9 @@ class MultiViewPredictor:
                 out_shape=out_shape, n_valid_planes=n_valid,
                 return_probs=return_probs,
             )
-            if not return_probs:  # bias + argmax already in the graph
+            if not return_probs:  # bias + argmax (packed) already in graph
+                if self.n_classes <= 16 and out_shape[2] % 2 == 0:
+                    return _unpack_class_map(out, true_shape), None
                 return np.asarray(
                     out[: true_shape[0], : true_shape[1], : true_shape[2]]
                 ), None
@@ -513,9 +552,8 @@ class MultiViewPredictor:
                 jnp.asarray(Mts[v][0]), jnp.asarray(Mts[v][1]),
                 out_shape, n_valid,
             )
-            per_view.append(np.asarray(
-                argmax_v[: true_shape[0], : true_shape[1], : true_shape[2]]
-            ))
+            per_view.append(self._fetch_class_map(argmax_v, out_shape,
+                                                  true_shape))
 
         return (self._fuse_tail(accum, fusion_params, b, n_views,
                                 return_probs, true_shape), per_view)

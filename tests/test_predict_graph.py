@@ -397,3 +397,19 @@ def test_predictor_rejects_uncroppable_dim():
     with pytest.raises(ValueError, match="divisible"):
         MultiViewPredictor(model, {}, sample_dim=30, real_space_span=30.0,
                            n_classes=2)
+
+
+def test_class_map_nibble_pack_roundtrip():
+    """Device-side nibble pack + host unpack is lossless for <=16 classes
+    and crops to the true shape."""
+    from multiplanarunet_tpu.utils.fusion.fuse_and_predict import (
+        _pack_class_map,
+        _unpack_class_map,
+    )
+
+    rng = np.random.RandomState(0)
+    cls = rng.randint(0, 16, (12, 10, 8)).astype(np.uint8)
+    packed = np.asarray(_pack_class_map(jnp.asarray(cls)))
+    assert packed.shape == (12, 10, 4)
+    out = _unpack_class_map(packed, (11, 9, 7))
+    np.testing.assert_array_equal(out, cls[:11, :9, :7])
