@@ -67,12 +67,18 @@ class _Op:
 
 
 _ELIM_ORDER = [(1, 0), (2, 0), (2, 1), (0, 1), (0, 2), (1, 2)]
+# The last op touching each row also carries that row's scale (alpha) —
+# folding the diag into the shears makes a general affine SIX passes, not
+# 6 shears + 3 scales (each pass is a full HBM roundtrip).
+_FINAL_FOR_ROW = {(2, 1), (0, 2), (1, 2)}
 
 
 def _peel(Np):
-    """Factor Np = E(1,0) E(2,0) E(2,1) E(0,1) E(0,2) E(1,2) diag(S), the
-    product taken in EXECUTION order (first executed = leftmost factor).
-    Returns (ops, ok)."""
+    """Factor Np = E(1,0) E(2,0) E(2,1) E(0,1) E(0,2) E(1,2), the product
+    taken in EXECUTION order (first executed = leftmost factor). Each E is
+    identity except row m = (alpha at m, beta at q); row-reduction of Np to
+    the identity by E^-1 steps (row_m <- (row_m - beta*row_q)/alpha) gives
+    the coefficients. Returns (ops, ok)."""
     R = np.array(Np, np.float64)
     ops = []
     for (m, q) in _ELIM_ORDER:
@@ -80,13 +86,15 @@ def _peel(Np):
         if abs(piv) < 1e-9:
             return None, False
         beta = R[m, q] / piv
-        ops.append(_Op(m, q, 1.0, beta))
         R[m, :] = R[m, :] - beta * R[q, :]
-    for m in range(3):
-        if abs(R[m, m]) < 1e-9:
-            return None, False
-        ops.append(_Op(m, None, R[m, m], 0.0))
-    off = R - np.diag(np.diag(R))
+        alpha = 1.0
+        if (m, q) in _FINAL_FOR_ROW:
+            alpha = R[m, m]
+            if abs(alpha) < 1e-9:
+                return None, False
+            R[m, :] = R[m, :] / alpha
+        ops.append(_Op(m, q, alpha, beta))
+    off = R - np.eye(3)
     if np.max(np.abs(off)) > 1e-6 * max(1.0, float(np.max(np.abs(Np)))):
         return None, False
     return ops, True
@@ -147,18 +155,23 @@ def _finish_plan(plan, perm, out_perm, ops, c_rp, out_shape_p, round_extent):
     plan.out_perm = out_perm
     plan.ops = ops
 
-    # Solve per-axis gammas (on the scale passes) for the translation
-    scale_ops = [op for op in ops if op.q is None]
+    # Solve gammas for the translation on one op per output axis (the last
+    # op touching each axis — their translation effects span R^3)
+    gamma_ops, seen = [], set()
+    for op in reversed(ops):
+        if op.m not in seen:
+            seen.add(op.m)
+            gamma_ops.append(op)
     _, base_t = _compose(ops)
     cols = []
-    for s_op in scale_ops:
-        s_op.gamma = 1.0
+    for g_op in gamma_ops:
+        g_op.gamma = 1.0
         _, t1 = _compose(ops)
         cols.append(t1 - base_t)
-        s_op.gamma = 0.0
+        g_op.gamma = 0.0
     gammas = np.linalg.solve(np.stack(cols, axis=1), c_rp - base_t)
-    for s_op, g in zip(scale_ops, gammas):
-        s_op.gamma = float(g)
+    for g_op, g in zip(gamma_ops, gammas):
+        g_op.gamma = float(g)
 
     # ---- interval bookkeeping -------------------------------------------
     src_t_shape = tuple(plan.src_shape[p] for p in perm)
@@ -272,16 +285,24 @@ def plan_affine_resample(N, c, src_shape, out_shape, round_extent=16):
             cand.src_shape = plan.src_shape
             cand.out_shape = plan.out_shape
             cand.valid = True
-            _finish_plan(cand, perm, out_perm, ops, c[list(perm)],
-                         out_shape_p, round_extent)
-            # float math: ill-conditioned factorizations produce extents
-            # that overflow int64 products
+            try:
+                _finish_plan(cand, perm, out_perm, ops, c[list(perm)],
+                             out_shape_p, round_extent)
+            except np.linalg.LinAlgError:
+                continue
+            # Score: (alias tier, footprint). A pass with |alpha| > 1
+            # subsamples its axis (aliasing — linear/cubic taps skip source
+            # samples), so alias-free factorizations (every |alpha| <= 1)
+            # win outright; footprint breaks ties. Float math — ill-
+            # conditioned candidates produce extents that overflow int64.
+            alias = max(1.0, max(abs(o.alpha) for o in ops))
             cost = sum(
                 float(np.prod([float(e) for (_, e) in st]))
                 for st in cand.stages
             )
-            if best is None or cost < best[0]:
-                best = (cost, cand)
+            score = (round(alias, 6), cost)
+            if best is None or score < best[0]:
+                best = (score, cand)
     if best is None:
         plan.valid = False
         plan.perm, plan.out_perm, plan.ops, plan.stages = None, None, [], []
@@ -329,18 +350,59 @@ def _lift(x, m, q, L_out):
     return x.reshape(shape)
 
 
-def _pass_jnp(A, op, method="linear"):
+def _pass_positions(A, op, xp):
+    """Fractional source positions of one pass: (nq, L_out) (nq=1 if the
+    pass has no q dependence)."""
+    L_out = op.out_extent
+    t = xp.arange(L_out, dtype=xp.float32)
+    pos = op.alpha * (t + op.out_lo) + op.gamma - op.in_lo
+    if op.q is not None:
+        b = xp.arange(A.shape[op.q], dtype=xp.float32) + op.q_lo
+        return pos[None, :] + op.beta * b[:, None]
+    return pos[None, :]
+
+
+def _kernel_weights(x, method, xp):
+    """Interpolation kernel evaluated at signed offsets x (tap - position)."""
+    ax = xp.abs(x)
+    if method == "linear":
+        return xp.maximum(1.0 - ax, 0.0)
+    if method == "cubic":  # Catmull-Rom (a = -0.5)
+        near = 1.5 * ax ** 3 - 2.5 * ax ** 2 + 1.0
+        far = -0.5 * ax ** 3 + 2.5 * ax ** 2 - 4.0 * ax + 2.0
+        return xp.where(ax <= 1.0, near, xp.where(ax <= 2.0, far, 0.0))
+    raise ValueError(f"method {method!r} has no kernel-weight form")
+
+
+def _pass_jnp(A, op, method="linear", impl="take"):
     """Apply one elementary pass to A (rank 4, channels last, validity as
-    the last channel — zeros outside data make masked reads correct)."""
+    the last channel — zeros outside data make masked reads correct).
+
+    impl="take": per-tap take_along_axis (bandwidth-bound; best on CPU and
+    for `nearest`). impl="matmul": build the (nq, L_out, L_in) banded
+    interpolation matrix from the kernel in-graph and contract it on the
+    MXU — on TPU the matmul units are effectively free next to HBM
+    bandwidth, so the pass becomes one dense contraction with no
+    gather/select work at all (out-of-range taps simply have zero weight)."""
     m, q = op.m, op.q
     L_out, L_in = op.out_extent, op.in_extent
-    t = jnp.arange(L_out, dtype=jnp.float32)
-    pos = op.alpha * (t + op.out_lo) + op.gamma - op.in_lo
-    if q is not None:
-        b = jnp.arange(A.shape[q], dtype=jnp.float32) + op.q_lo
-        pos = pos[None, :] + op.beta * b[:, None]  # (nq, L_out)
-    else:
-        pos = pos[None, :]
+    pos = _pass_positions(A, op, jnp)
+    if impl == "matmul" and method != "nearest":
+        s = jnp.arange(L_in, dtype=jnp.float32)
+        W = _kernel_weights(s[None, None, :] - pos[..., None], method, jnp)
+        W = W.astype(A.dtype)  # (nq, L_out, L_in)
+        labels = ["a", "b", "c", "d"]
+        in_sub = list(labels)
+        in_sub[m] = "s"
+        out_sub = list(labels)
+        out_sub[m] = "t"
+        w_sub = (labels[q] if q is not None else "") + "ts"
+        if q is None:
+            W = W[0]
+        return jnp.einsum(
+            f"{w_sub},{''.join(in_sub)}->{''.join(out_sub)}", W, A,
+            preferred_element_type=jnp.float32,
+        ).astype(A.dtype)
     parts = _tap_parts(pos, jnp, method)
     out = None
     for idx, w in parts:
@@ -375,7 +437,7 @@ def exact_inside_mask(N, c, src_shape, out_shape):
 
 def shear_resample(src, plan: ShearPlan, fill, method="linear",
                    compute_dtype=jnp.float32, exact_bounds=None,
-                   out_dtype=None):
+                   out_dtype=None, impl="take"):
     """Execute a ShearPlan on device.
 
     src: (S0, S1, S2, C). Returns out_shape + (C,) in out_dtype (defaults
@@ -397,7 +459,7 @@ def shear_resample(src, plan: ShearPlan, fill, method="linear",
         [A, jnp.ones(A.shape[:3] + (1,), compute_dtype)], axis=-1)
     A = jnp.transpose(A, plan.perm + (3,))
     for op in plan.ops:
-        A = _pass_jnp(A, op, method)
+        A = _pass_jnp(A, op, method, impl=impl)
     if plan.out_perm != (0, 1, 2):
         inv = tuple(int(i) for i in np.argsort(plan.out_perm))
         A = jnp.transpose(A, inv + (3,))

@@ -88,14 +88,14 @@ def _unpack_class_map(packed, true_shape):
     return out[: true_shape[0], : true_shape[1], : true_shape[2]]
 
 
-def _plan_stage_bytes(plan, n_channels):
-    """Largest intermediate stage of a ShearPlan in bytes (float32 compute,
-    +1 for the validity channel). Float math — degenerate plans can have
-    extents whose product overflows int64."""
+def _plan_stage_bytes(plan, n_channels, bytes_per=2):
+    """Largest intermediate stage of a ShearPlan in bytes (bf16 passes by
+    default, +1 for the validity channel). Float math — degenerate plans
+    can have extents whose product overflows int64."""
     return max(
         float(np.prod([float(ext) for (_, ext) in stage]))
         for stage in plan.stages
-    ) * (n_channels + 1) * 4
+    ) * (n_channels + 1) * bytes_per
 
 
 class MultiViewPredictor:
@@ -103,9 +103,19 @@ class MultiViewPredictor:
     configuration; reusable across images (recompiles only when the padded
     volume bucket shape changes)."""
 
-    # Per-stage f32 footprint above which a shear plan falls back to gather
-    # (two stages are live at once; leaves room for the U-Net + accumulator).
-    _SHEAR_STAGE_BYTES_MAX = 2.6e9
+    # Shear-pass implementation: the MXU einsum form is 4-5x faster than
+    # take_along_axis on TPU (banded interp matrix contracted on the MXU;
+    # benchmarks/shear_impl_probe.py: stack 51->10.5 ms, remap 65->20 ms
+    # per 256^3 view); on CPU the gather form wins.
+    @staticmethod
+    def _shear_impl():
+        return "take" if jax.default_backend() == "cpu" else "matmul"
+
+    # Per-stage bf16 footprint above which a shear plan falls back to gather
+    # (two stages are live at once; leaves room for the U-Net, the f32
+    # fusion accumulator, and the staged volume). 3.2 GB admits 512^3
+    # volumes (stage ~2.7 GB, accum 3.7 GB, volume 0.3 GB on a 16 GB chip).
+    _SHEAR_STAGE_BYTES_MAX = 3.2e9
 
     def __init__(self, model, variables, sample_dim, real_space_span,
                  n_classes, chunk=None, logger=None, resampler="auto"):
@@ -292,7 +302,8 @@ class MultiViewPredictor:
                 # bf16 (bandwidth-bound); the U-Net computes in bf16 anyway.
                 return shear_resample(volume, plan, fill, method="cubic",
                                       compute_dtype=jnp.bfloat16,
-                                      exact_bounds=bounds)
+                                      exact_bounds=bounds,
+                                      impl=self._shear_impl())
         else:
             onehot_bg = np.zeros((self.n_classes,), np.float32)
             onehot_bg[0] = 1.0
@@ -306,7 +317,8 @@ class MultiViewPredictor:
                                         method="linear",
                                         compute_dtype=jnp.bfloat16,
                                         out_dtype=jnp.float32,
-                                        exact_bounds=bounds)
+                                        exact_bounds=bounds,
+                                        impl=self._shear_impl())
                 side = None
                 if want_argmax:
                     side = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
