@@ -82,9 +82,10 @@ def main():
             "b": np.zeros((1, n_classes), np.float32),
         }
     }
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else None
     predictor = MultiViewPredictor(
         model, variables, sample_dim=size, real_space_span=float(size - 1),
-        n_classes=n_classes, chunk=32,
+        n_classes=n_classes, chunk=chunk,
     )
 
     def run_once():

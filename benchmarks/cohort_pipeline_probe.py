@@ -63,7 +63,7 @@ def main():
     }}
     predictor = MultiViewPredictor(
         model, variables, sample_dim=size, real_space_span=float(size - 1),
-        n_classes=n_classes, chunk=32)
+        n_classes=n_classes)
     predictor.mesh = None
 
     def predict_one(image):
@@ -117,15 +117,56 @@ def main():
         pool.shutdown(wait=False)
         return dt
 
+    def run_pipelined3():
+        """Input pool + deferred-fetch output pool (the bin/predict.py
+        structure): fetch of image i-1's result overlaps compute of i."""
+        loader = build_loader()
+        in_pool = ThreadPoolExecutor(max_workers=1)
+        out_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _preload(idx):
+            if idx < n_images:
+                img = loader.get_by_id(f"img_{idx}")
+                img.load()
+                predictor.prestage(img, views)
+                return img
+            return None
+
+        def _finalize(img, fetch):
+            fused = fetch()
+            assert fused.shape[:3] == (size, size, size)
+            img.unload()
+
+        t0 = time.time()
+        nxt = in_pool.submit(_preload, 0)
+        out = None
+        for i in range(n_images):
+            img = nxt.result()
+            nxt = in_pool.submit(_preload, i + 1)
+            if out is not None:
+                out.result()
+            fetch, _ = predictor.predict_image(
+                img, views, fusion_params=fusion_params,
+                n_planes="same+20", return_per_view=False,
+                defer_fetch=True)
+            out = out_pool.submit(_finalize, img, fetch)
+        out.result()
+        dt = time.time() - t0
+        in_pool.shutdown(wait=False)
+        out_pool.shutdown(wait=False)
+        return dt
+
     # Interleave to cancel drift; report best of 2 each
-    serial = [run_serial()]
-    piped = [run_pipelined()]
-    serial.append(run_serial())
-    piped.append(run_pipelined())
-    s, p = min(serial), min(piped)
-    print(f"serial:    {s:.2f} s cohort  ({s / n_images:.2f} s/volume)")
-    print(f"pipelined: {p:.2f} s cohort  ({p / n_images:.2f} s/volume)")
-    print(f"speedup:   {s / p:.2f}x")
+    serial, piped, piped3 = [], [], []
+    for _ in range(2):
+        serial.append(run_serial())
+        piped.append(run_pipelined())
+        piped3.append(run_pipelined3())
+    s, p, p3 = min(serial), min(piped), min(piped3)
+    print(f"serial:       {s:.2f} s cohort  ({s / n_images:.2f} s/volume)")
+    print(f"pipelined:    {p:.2f} s cohort  ({p / n_images:.2f} s/volume)")
+    print(f"pipelined-3:  {p3:.2f} s cohort  ({p3 / n_images:.2f} s/volume)")
+    print(f"speedup:      {s / p:.2f}x (2-stage)  {s / p3:.2f}x (3-stage)")
 
 
 if __name__ == "__main__":

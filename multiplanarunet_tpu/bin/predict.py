@@ -147,11 +147,14 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if image_id in already_done:
             logger(f"Skipping {image_id} (already predicted)")
 
-    # Overlap host nii decode + scaling + device staging (bf16 ship +
-    # on-device corner packing) of image i+1 with inference of image i
+    # Three-stage software pipeline over the cohort: an input IO thread
+    # decodes + scales + device-stages image i+1 and an output IO thread
+    # fetches (slow remote transport) + saves image i-1's result, both
+    # overlapped with device inference of image i.
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=1)
+    out_pool = ThreadPoolExecutor(max_workers=1)
 
     def _preload(idx):
         if idx < len(todo):
@@ -161,52 +164,76 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
             return img
         return None
 
+    def _finalize(image, fused):
+        to_save = fused() if callable(fused) else fused
+        save_nii_files(to_save, image, nii_dir, args.save_input_files,
+                       logger)
+        image.unload()
+
     next_future = io_pool.submit(_preload, 0)
-    for i, image_id in enumerate(todo):
-        image = next_future.result()
-        next_future = io_pool.submit(_preload, i + 1)
-        try:
-            logger(f"\n--- Predicting on {image_id} "
-                   f"(shape {tuple(image.shape)}) ---")
-            evaluate = (not args.no_eval and image.labels is not None
-                        and rng.rand() <= args.eval_prob)
-            if (getattr(predictor, "mesh", None) is not None
-                    and not evaluate and not args.no_argmax):
-                # Multi-device: shard views over the mesh (no per-view eval)
-                fused = predictor.predict_image_sharded(
-                    image, views, predictor.mesh,
-                    fusion_params=fusion_params, n_planes=args.n_planes,
-                )
-                per_view = None
-            else:
-                fused, per_view = predictor.predict_image(
-                    image, views, fusion_params=fusion_params,
-                    n_planes=args.n_planes, return_per_view=evaluate,
-                    return_probs=args.no_argmax,
-                )
-            fused_cls = (fused.argmax(-1).astype(np.uint8)
-                         if args.no_argmax else fused)
-            if evaluate:
-                labels = image.labels
-                for v, view in enumerate(views):
-                    dices = dice_all(labels, per_view[v],
-                                     n_classes=n_classes, ignore_zero=True)
-                    pc_results[str(view)][image_id] = dices
-                    results.loc[image_id, str(view)] = np.nanmean(dices)
-                    logger(f"View {v}: mean dice {np.nanmean(dices):.4f}")
-                merged_dices = dice_all(labels, fused_cls,
-                                        n_classes=n_classes, ignore_zero=True)
-                pc_results["MJ"][image_id] = merged_dices
-                results.loc[image_id, "MJ"] = np.nanmean(merged_dices)
-                logger(f"Fused: mean dice {np.nanmean(merged_dices):.4f} "
-                       f"(per-class {np.round(merged_dices, 4)})")
-                lr.save_all(results, pc_results, out_dir)
-            to_save = fused if args.no_argmax else fused_cls
-            save_nii_files(to_save, image, nii_dir, args.save_input_files,
-                           logger)
-        finally:
-            image.unload()
-    io_pool.shutdown(wait=False)
+    out_future = None
+    try:
+        for i, image_id in enumerate(todo):
+            image = next_future.result()
+            next_future = io_pool.submit(_preload, i + 1)
+            if out_future is not None:
+                # Bound in-flight results to one (each holds a device-side
+                # class map until fetched) and surface save errors promptly
+                out_future.result()
+                out_future = None
+            try:
+                logger(f"\n--- Predicting on {image_id} "
+                       f"(shape {tuple(image.shape)}) ---")
+                evaluate = (not args.no_eval and image.labels is not None
+                            and rng.rand() <= args.eval_prob)
+                if (getattr(predictor, "mesh", None) is not None
+                        and not evaluate and not args.no_argmax):
+                    # Multi-device: shard views over mesh (no per-view eval)
+                    fused = predictor.predict_image_sharded(
+                        image, views, predictor.mesh,
+                        fusion_params=fusion_params, n_planes=args.n_planes,
+                    )
+                    per_view = None
+                else:
+                    fused, per_view = predictor.predict_image(
+                        image, views, fusion_params=fusion_params,
+                        n_planes=args.n_planes, return_per_view=evaluate,
+                        return_probs=args.no_argmax,
+                        defer_fetch=not evaluate and not args.no_argmax,
+                    )
+                if not evaluate and not args.no_argmax:
+                    out_future = out_pool.submit(_finalize, image, fused)
+                    continue
+                fused_cls = (fused.argmax(-1).astype(np.uint8)
+                             if args.no_argmax else fused)
+                if evaluate:
+                    labels = image.labels
+                    for v, view in enumerate(views):
+                        dices = dice_all(labels, per_view[v],
+                                         n_classes=n_classes,
+                                         ignore_zero=True)
+                        pc_results[str(view)][image_id] = dices
+                        results.loc[image_id, str(view)] = np.nanmean(dices)
+                        logger(f"View {v}: mean dice {np.nanmean(dices):.4f}")
+                    merged_dices = dice_all(labels, fused_cls,
+                                            n_classes=n_classes,
+                                            ignore_zero=True)
+                    pc_results["MJ"][image_id] = merged_dices
+                    results.loc[image_id, "MJ"] = np.nanmean(merged_dices)
+                    logger(f"Fused: mean dice {np.nanmean(merged_dices):.4f} "
+                           f"(per-class {np.round(merged_dices, 4)})")
+                    lr.save_all(results, pc_results, out_dir)
+                to_save = fused if args.no_argmax else fused_cls
+                save_nii_files(to_save, image, nii_dir,
+                               args.save_input_files, logger)
+            finally:
+                if out_future is None:
+                    image.unload()
+        if out_future is not None:
+            out_future.result()
+    finally:
+        io_pool.shutdown(wait=False)
+        out_pool.shutdown(wait=True)
     if not args.no_eval:
         lr.save_all(results, pc_results, out_dir)
     return results

@@ -133,11 +133,15 @@ class MultiViewPredictor:
                 f"divisible by {2 ** depth} (the Auditor picks 16-divisible "
                 f"dims automatically)."
             )
-        if chunk is None:
-            # Plane batch per U-Net scan step: large enough to saturate the
-            # MXU, bounded so activations stay comfortably in HBM
-            chunk = 32 if self.dim <= 256 else 8
-        self.chunk = int(chunk)
+        # Plane batch per U-Net scan step. With chunk=None the batch adapts
+        # to each stack's plane count so no padded planes run through the
+        # U-Net (P_pad = steps * 2ceil(P / 2steps)). Measured end-to-end on
+        # a v5e at 276 planes (256^3, 6 views): chunk 46 -> 3.55 s/vol,
+        # 32 -> 3.6-3.7, 69 -> 6.2, 92 -> 4.9 — odd batches tile poorly and
+        # large ones blow the working set next to the shear stages and the
+        # fusion accumulator, so the adaptive chunk stays even and <= 48.
+        self.chunk = None if chunk is None else int(chunk)
+        self._chunk_target = 48 if self.dim <= 256 else 8
         self.logger = logger
         if resampler not in ("auto", "shear", "gather"):
             raise ValueError(
@@ -145,14 +149,34 @@ class MultiViewPredictor:
                 f"got {resampler!r}"
             )
         self.resampler = resampler
+        self._chunk_cache = {}  # P_pad -> scan chunk
         self._view_fn = None    # per-view gather graph (argmax side output)
         self._scan_fn = None    # single-dispatch gather view-scan graph
         self._unet_fn = None    # shared plane-stack U-Net (shear path)
         self._shear_fns = {}    # plan signature -> jitted resample fn
 
+    def _chunk_for(self, P_pad):
+        """Scan chunk for a P_pad-plane stack. P_pad (a trace-time constant)
+        determines the chunk, so the jitted graphs — cached by input shape —
+        recover the same chunk _prepare_offsets padded for: when adaptive,
+        P_pad = steps * 2ceil(P/2steps) makes 2ceil(P/2steps) the largest
+        even divisor of P_pad that is <= the target (proof: any larger even
+        divisor d would give P_pad/d < steps, forcing
+        d >= P_pad/(steps-1) > target)."""
+        if self.chunk is not None:
+            return self.chunk
+        chunk = self._chunk_cache.get(P_pad)
+        if chunk is None:
+            t = self._chunk_target
+            chunk = (P_pad if P_pad <= t else
+                     max(d for d in range(2, t + 1, 2) if P_pad % d == 0))
+            self._chunk_cache[P_pad] = chunk
+        return chunk
+
     # ---------------------------------------------------------- jit factory
     def _build(self):
-        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+        model, span, dim = self.model, self.span, self.dim
+        chunk_for = self._chunk_for
 
         @partial(jax.jit,
                  static_argnames=("out_shape", "n_valid_planes",
@@ -171,6 +195,7 @@ class MultiViewPredictor:
             P_pad = planes.shape[0]
 
             # 2) U-Net over plane chunks without leaving the graph
+            chunk = chunk_for(P_pad)
             chunks = planes.reshape(P_pad // chunk, chunk, dim, dim,
                                     planes.shape[-1])
 
@@ -205,7 +230,8 @@ class MultiViewPredictor:
         """Single-dispatch gather fast path: lax.scan over stacked per-view
         parameters with the fusion accumulation as carry and bias + argmax in
         graph — no per-view dispatches, no unused per-view argmax work."""
-        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+        model, span, dim = self.model, self.span, self.dim
+        chunk_for = self._chunk_for
         nc = self.n_classes
 
         @partial(jax.jit, static_argnames=("out_shape", "n_valid_planes",
@@ -225,6 +251,7 @@ class MultiViewPredictor:
                     fill, valid_shape=valid_shape,
                 )
                 planes = jnp.moveaxis(stack, 2, 0)
+                chunk = chunk_for(planes.shape[0])
                 chunks = planes.reshape(-1, chunk, dim, dim,
                                         planes.shape[-1])
 
@@ -257,12 +284,14 @@ class MultiViewPredictor:
     def _build_unet_stack(self):
         """Shared plane-stack U-Net for the shear path (compiled once; the
         per-view shear graphs around it are small and recompile cheaply)."""
-        model, chunk, dim = self.model, self.chunk, self.dim
+        model, dim = self.model, self.dim
+        chunk_for = self._chunk_for
 
         @jax.jit
         def unet_stack(variables, stack):
             planes = jnp.moveaxis(stack, 2, 0)  # (P_pad, d, d, C)
             P_pad = planes.shape[0]
+            chunk = chunk_for(P_pad)
             chunks = planes.reshape(P_pad // chunk, chunk, dim, dim,
                                     planes.shape[-1])
 
@@ -406,7 +435,14 @@ class MultiViewPredictor:
         """(chunk-padded offsets, n_valid) for an n_planes spec."""
         offsets = self._plane_offsets(image, n_planes)
         n_valid = len(offsets)
-        P_pad = _pad_planes(n_valid, self.chunk)
+        if self.chunk is not None:
+            P_pad = _pad_planes(n_valid, self.chunk)
+        else:
+            # Minimal padding: steps scan iterations of 2ceil(n/2steps)
+            # planes (which _chunk_for recovers from P_pad as its largest
+            # even divisor <= the target)
+            steps = -(-n_valid // self._chunk_target)
+            P_pad = steps * 2 * (-(-n_valid // (2 * steps)))
         if P_pad != n_valid:
             step = offsets[1] - offsets[0]
             extra = offsets[-1] + step * np.arange(1, P_pad - n_valid + 1)
@@ -436,9 +472,12 @@ class MultiViewPredictor:
         return W, b
 
     def _fuse_tail(self, accum, fusion_params, b, n_views, return_probs,
-                   true_shape):
+                   true_shape, defer=False):
         """accum -> fused output on host (argmax uint8 or probability
-        volume), cropped to the true shape."""
+        volume), cropped to the true shape. With defer=True, returns a
+        zero-arg callable performing the device->host fetch instead — the
+        device work is already dispatched, so a caller can run the fetch on
+        an IO thread and overlap it with the next image's compute."""
         if fusion_params is not None:
             fused_dev = jax.nn.softmax(accum + jnp.asarray(b), axis=-1)
         else:
@@ -449,13 +488,16 @@ class MultiViewPredictor:
             # bytes/voxel and dominates wall time on remote transports
             cls = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
             if self.n_classes <= 16 and cls.shape[2] % 2 == 0:
-                return _unpack_class_map(_pack_class_map(cls), true_shape)
-            return np.asarray(
-                cls[: true_shape[0], : true_shape[1], : true_shape[2]]
-            )
-        return np.asarray(
-            fused_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
-        )
+                packed = _pack_class_map(cls)
+                fetch = lambda: _unpack_class_map(packed, true_shape)  # noqa: E731
+            else:
+                crop = cls[: true_shape[0], : true_shape[1], : true_shape[2]]
+                fetch = lambda: np.asarray(crop)  # noqa: E731
+        else:
+            crop = fused_dev[
+                : true_shape[0], : true_shape[1], : true_shape[2]]
+            fetch = lambda: np.asarray(crop)  # noqa: E731
+        return fetch if defer else fetch()
 
     def prestage(self, image, views=None, n_planes="same+20"):
         """Stage this image's volume to the device in the form the
@@ -483,13 +525,17 @@ class MultiViewPredictor:
 
     def predict_image(self, image, views, fusion_params=None,
                       n_planes="same+20", return_per_view=True,
-                      return_probs=False):
+                      return_probs=False, defer_fetch=False):
         """Run all views over one ImagePair and fuse.
 
         Returns (fused, per_view_argmax list of (X, Y, Z) uint8 arrays or
         None). `fused` is the argmax class map (uint8) by default; pass
         return_probs=True for the full softmax volume (nc x the transfer
-        size — significant on remote-device transports)."""
+        size — significant on remote-device transports). With
+        defer_fetch=True, `fused` is a zero-arg callable that performs the
+        device->host fetch when invoked — call it from an output IO thread
+        to overlap the (slow remote-transport) result transfer with the
+        next image's inference."""
         sampler = image.interpolator
         true_shape = tuple(int(s) for s in image.shape[:3])
         offsets, n_valid = self._prepare_offsets(image, n_planes)
@@ -515,7 +561,8 @@ class MultiViewPredictor:
             accum, per_view = self._run_shear(
                 image, views, shear_fns, W, return_per_view, true_shape)
             return (self._fuse_tail(accum, fusion_params, b, n_views,
-                                    return_probs, true_shape), per_view)
+                                    return_probs, true_shape,
+                                    defer=defer_fetch), per_view)
 
         volume = sampler.device_volume_packed()
         out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
@@ -541,12 +588,15 @@ class MultiViewPredictor:
             )
             if not return_probs:  # bias + argmax (packed) already in graph
                 if self.n_classes <= 16 and out_shape[2] % 2 == 0:
-                    return _unpack_class_map(out, true_shape), None
-                return np.asarray(
-                    out[: true_shape[0], : true_shape[1], : true_shape[2]]
-                ), None
+                    fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
+                else:
+                    crop = out[: true_shape[0], : true_shape[1],
+                               : true_shape[2]]
+                    fetch = lambda: np.asarray(crop)  # noqa: E731
+                return (fetch if defer_fetch else fetch()), None
             return (self._fuse_tail(out, fusion_params, b, n_views,
-                                    return_probs, true_shape), None)
+                                    return_probs, true_shape,
+                                    defer=defer_fetch), None)
 
         if self._view_fn is None:
             self._view_fn = self._build()
@@ -568,7 +618,8 @@ class MultiViewPredictor:
                                                   true_shape))
 
         return (self._fuse_tail(accum, fusion_params, b, n_views,
-                                return_probs, true_shape), per_view)
+                                return_probs, true_shape,
+                                defer=defer_fetch), per_view)
 
     # ------------------------------------------------------- multi-chip path
     def predict_image_sharded(self, image, views, mesh, fusion_params=None,
@@ -615,7 +666,8 @@ class MultiViewPredictor:
             Ms[v], ts[v] = self._remap_transform(image, basis, true_shape)
             w[v] = W[v]
 
-        model, chunk, span, dim = self.model, self.chunk, self.span, self.dim
+        model, span, dim = self.model, self.span, self.dim
+        chunk_for = self._chunk_for
         nc = self.n_classes
         g0 = np.float32(-(span // 2))
         g_step = np.float32((-2.0 * g0) / (dim - 1))
@@ -629,6 +681,7 @@ class MultiViewPredictor:
                 fill, valid_shape=valid_shape,
             )
             planes = jnp.moveaxis(stack, 2, 0)
+            chunk = chunk_for(planes.shape[0])
             chunks = planes.reshape(-1, chunk, dim, dim, planes.shape[-1])
 
             def body(_, xs):

@@ -413,3 +413,21 @@ def test_class_map_nibble_pack_roundtrip():
     assert packed.shape == (12, 10, 4)
     out = _unpack_class_map(packed, (11, 9, 7))
     np.testing.assert_array_equal(out, cls[:11, :9, :7])
+
+
+def test_adaptive_chunk_consistency():
+    """The adaptive scan chunk recovered from P_pad inside the jitted graphs
+    must equal the chunk _prepare_offsets padded for, for every plane count
+    (the graphs are cached by stack shape, so P_pad -> chunk must be a
+    well-defined function)."""
+    pred = MultiViewPredictor(None, {}, sample_dim=256,
+                              real_space_span=255.0, n_classes=7)
+    t = pred._chunk_target
+    for n in range(1, 700):
+        steps = -(-n // t)
+        P_pad = steps * 2 * (-(-n // (2 * steps)))
+        chunk = pred._chunk_for(P_pad)
+        assert P_pad % chunk == 0
+        assert chunk <= max(t, P_pad if P_pad <= t else 0)
+        assert P_pad // chunk == steps, (n, P_pad, chunk, steps)
+        assert 0 <= P_pad - n < chunk + 2, (n, P_pad, chunk)
