@@ -25,7 +25,8 @@ def main():
         shear_resample,
     )
 
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    size = int(args[0]) if args else 256
     dim, n_classes, P_pad = size, 7, size + 32
     span = float(size - 1)
     g0 = float(-(span // 2))
@@ -72,7 +73,9 @@ def main():
         fill1 = np.zeros(1, np.float32)
         fillc = np.eye(n_classes, dtype=np.float32)[0]
         row = [f"view {v}:"]
-        for impl in ("take", "matmul"):
+        impls = ("take", "matmul", "pallas") if "--pallas" in sys.argv \
+            else ("take", "matmul")
+        for impl in impls:
             fs = jax.jit(lambda x, p=s_plan, b=s_Nc, i=impl: shear_resample(
                 x, p, fill1, method="cubic", compute_dtype=jnp.bfloat16,
                 exact_bounds=b + ((size,) * 3,), impl=i))

@@ -458,6 +458,61 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
     return out.reshape((X, Y, Z, C))
 
 
+def accum_view_pred_affine(pred, plane_start, plane_step, offset_start,
+                           offset_step, M, t, accum, w, valid_planes,
+                           want_argmax=False, method="nearest",
+                           x_slab=None):
+    """`map_view_pred_affine` fused with the fusion accumulation: updates
+    `accum` (donate it!) slab-by-slab in place instead of materializing the
+    mapped volume — at 512^3 x 7 classes the mapped f32 volume alone is
+    3.8 GB next to the 3.8 GB accumulator, which exhausts a 16 GB chip
+    (measured); here only one slab's map is ever live.
+
+    Returns (accum + w * mapped, argmax uint8 map or None)."""
+    X, Y, Z = accum.shape[:3]
+    C = pred.shape[-1]
+    fill = jnp.zeros((C,), pred.dtype).at[0].set(1.0)
+    origin = jnp.stack([plane_start, plane_start, offset_start])
+    spacing = jnp.stack([plane_step, plane_step, offset_step])
+    valid = jnp.stack([
+        jnp.asarray(pred.shape[0]), jnp.asarray(pred.shape[1]),
+        jnp.asarray(valid_planes),
+    ])
+    if x_slab is None:
+        x_slab = X if X * Y * Z <= 256 ** 3 else max(32, X // 16)
+    if X % x_slab:
+        x_slab = X
+    n_slabs = X // x_slab
+
+    def body(slab_idx, carry):
+        accum, side = carry
+        x0 = (slab_idx * x_slab).astype(jnp.float32)
+        ii = x0 + jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 0)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 1)
+        kk = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 2)
+        pts = jnp.stack(
+            [M[a, 0] * ii + M[a, 1] * jj + M[a, 2] * kk + t[a]
+             for a in range(3)],
+            axis=-1,
+        )
+        mapped = grid_gather(pred, origin, spacing, pts, method=method,
+                             fill=fill, valid_shape=valid
+                             ).astype(jnp.float32)
+        start = (slab_idx * x_slab, 0, 0, 0)
+        upd = jax.lax.dynamic_slice(
+            accum, start, (x_slab, Y, Z, C)) + w * mapped
+        accum = jax.lax.dynamic_update_slice(accum, upd, start)
+        if side is not None:
+            s_upd = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
+            side = jax.lax.dynamic_update_slice(side, s_upd, start[:3])
+        return accum, side
+
+    side = jnp.zeros((X, Y, Z), jnp.uint8) if want_argmax else None
+    if n_slabs == 1:
+        return body(jnp.asarray(0), (accum, side))
+    return jax.lax.fori_loop(0, n_slabs, body, (accum, side))
+
+
 @partial(jax.jit, static_argnames=("box_dim",), donate_argnums=(0,))
 def scatter_box_pred(pred_vol, pred, corner, real_box_dim, inv_box_rot,
                      rot, origin, spacing, box_dim, valid_shape):

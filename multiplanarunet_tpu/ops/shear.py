@@ -386,6 +386,10 @@ def _pass_jnp(A, op, method="linear", impl="take"):
     gather/select work at all (out-of-range taps simply have zero weight)."""
     m, q = op.m, op.q
     L_out, L_in = op.out_extent, op.in_extent
+    if impl == "pallas" and method != "nearest":
+        from multiplanarunet_tpu.ops.pallas_shear import pass_pallas
+
+        return pass_pallas(A, op, method)
     pos = _pass_positions(A, op, jnp)
     if impl == "matmul" and method != "nearest":
         s = jnp.arange(L_in, dtype=jnp.float32)

@@ -42,6 +42,7 @@ import numpy as np
 
 from multiplanarunet_tpu.ops import geometry
 from multiplanarunet_tpu.ops.interp import (
+    accum_view_pred_affine,
     map_view_pred_affine,
     sample_plane_stack_packed,
     scatter_box_pred,
@@ -98,6 +99,22 @@ def _plan_stage_bytes(plan, n_channels, bytes_per=2):
     ) * (n_channels + 1) * bytes_per
 
 
+@partial(jax.jit, static_argnames=("pack", "true_shape"),
+         donate_argnums=(0,))
+def _fused_argmax_graph(accum, b, pack, true_shape):
+    cls = jnp.argmax(accum + b, axis=-1).astype(jnp.uint8)
+    if pack:
+        return _pack_class_map(cls)
+    return cls[: true_shape[0], : true_shape[1], : true_shape[2]]
+
+
+@partial(jax.jit, static_argnames=("fused", "true_shape"),
+         donate_argnums=(0,))
+def _fused_probs_graph(accum, b, n_views, fused, true_shape):
+    x = jax.nn.softmax(accum + b, axis=-1) if fused else accum / n_views
+    return x[: true_shape[0], : true_shape[1], : true_shape[2]]
+
+
 class MultiViewPredictor:
     """Compiles and runs the fused per-view predict graph for one model
     configuration; reusable across images (recompiles only when the padded
@@ -111,11 +128,16 @@ class MultiViewPredictor:
     def _shear_impl():
         return "take" if jax.default_backend() == "cpu" else "matmul"
 
-    # Per-stage bf16 footprint above which a shear plan falls back to gather
-    # (two stages are live at once; leaves room for the U-Net, the f32
-    # fusion accumulator, and the staged volume). 3.2 GB admits 512^3
-    # volumes (stage ~2.7 GB, accum 3.7 GB, volume 0.3 GB on a 16 GB chip).
+    # Per-stage bf16 footprint above which a shear plan falls back to the
+    # gather implementation of that stage (two stages are live at once).
     _SHEAR_STAGE_BYTES_MAX = 3.2e9
+    # Peak-HBM budget for the shear REMAP specifically: its final pass
+    # materializes the mapped f32 volume NEXT TO the donated f32 fusion
+    # accumulator, the f32 U-Net prediction stack, and two live bf16
+    # stages. 512^3 x 7 classes busts a 16 GB chip this way (measured: TPU
+    # worker crash), so such volumes keep the shear plane-stack but remap
+    # through the slab-scanned gather kernel instead.
+    _SHEAR_REMAP_PEAK_BYTES_MAX = 11e9
 
     def __init__(self, model, variables, sample_dim, real_space_span,
                  n_classes, chunk=None, logger=None, resampler="auto"):
@@ -296,7 +318,14 @@ class MultiViewPredictor:
                                     planes.shape[-1])
 
             def body(_, xs):
-                return None, model.apply(variables, xs, train=False)
+                # bf16 probabilities: both remap kernels blend in bf16, and
+                # the f32 stack alone is 3.85 GB at 512^3 (it OOMed the
+                # mixed-mode remap by 66 MB). Cast inside the scan so the
+                # stacked output is laid out as a plain bf16 array (a cast
+                # of the full stacked f32 output chose a lane layout on the
+                # 7-class dim, padding it 18x to 36 GB).
+                out = model.apply(variables, xs, train=False)
+                return None, out.astype(jnp.bfloat16)
 
             _, probs = jax.lax.scan(body, None, chunks)
             return jnp.moveaxis(probs.reshape(P_pad, dim, dim, -1), 0, 2)
@@ -359,10 +388,41 @@ class MultiViewPredictor:
         self._shear_fns[key] = fn
         return fn
 
+    def _gather_remap_fn(self, M, t, g0, g_step, o0, o_step, out_shape,
+                         n_valid):
+        """Jitted slab-scanned gather remap + fusion accumulation — the
+        remap stage for volumes whose shear remap would not fit in HBM
+        (the plane STACK can still go through the shear kernel)."""
+        M = np.asarray(M, np.float32)
+        t = np.asarray(t, np.float32)
+        key = ("gremap", M.tobytes(), t.tobytes(), g0, g_step, o0, o_step,
+               out_shape, n_valid)
+        fn = self._shear_fns.get(key)
+        if fn is not None:
+            return fn
+
+        @partial(jax.jit, static_argnames=("want_argmax",),
+                 donate_argnums=(1,))
+        def fn(pred, accum, w_v, want_argmax=False):
+            accum, side = accum_view_pred_affine(
+                pred.astype(jnp.bfloat16), g0, g_step, o0, o_step,
+                jnp.asarray(M), jnp.asarray(t), accum, w_v, n_valid,
+                want_argmax=want_argmax,
+            )
+            if side is not None and (accum.shape[-1] <= 16
+                                     and accum.shape[2] % 2 == 0):
+                side = _pack_class_map(side)
+            return accum, side
+
+        self._shear_fns[key] = fn
+        return fn
+
     def _plan_shear_views(self, image, bases, Mts, offsets, n_valid):
         """Per-view (stack_fn, remap_fn) pairs for the shear resampler, or
         None when any view's affine fails to factor or exceeds the memory
-        guard (the caller falls back to the exact gather path)."""
+        guard (the caller falls back to the exact gather path). A view whose
+        plane STACK factors but whose remap would not fit in HBM remaps
+        through the slab-scanned gather kernel instead (mixed mode)."""
         sampler = image.interpolator
         rot = (np.eye(3) if sampler.rot_mat is None
                else np.asarray(sampler.rot_mat, np.float64))
@@ -373,28 +433,41 @@ class MultiViewPredictor:
         fill = np.asarray(sampler.scaled_bg_value, np.float32)
         n_ch = int(sampler.n_channels)
 
+        # Peak HBM of a shear remap: accum (donated) + mapped, both f32,
+        # the f32 U-Net prediction stack, and two live bf16 stages
+        accum_bytes = float(np.prod(vol_shape)) * self.n_classes * 4
+        pred_bytes = float(self.dim * self.dim * P_pad) * self.n_classes * 4
+
         fns = []
         for basis, (M, t) in zip(bases, Mts):
             s_plan, s_Nc = plan_plane_stack(
                 basis, rot, sampler.origin, sampler.spacing,
                 g0, g_step, o0, o_step, vol_shape, self.dim, P_pad,
             )
-            r_plan, r_Nc = plan_view_remap(
-                M, t, g0, g_step, o0, o_step,
-                (self.dim, self.dim, P_pad), vol_shape,
-            )
-            if not (s_plan.valid and r_plan.valid):
-                return None
-            if (_plan_stage_bytes(s_plan, n_ch) > self._SHEAR_STAGE_BYTES_MAX
-                    or _plan_stage_bytes(r_plan, self.n_classes)
+            if (not s_plan.valid
+                    or _plan_stage_bytes(s_plan, n_ch)
                     > self._SHEAR_STAGE_BYTES_MAX):
                 return None
             stack_fn = self._shear_fn(
                 "stack", s_plan, s_Nc + (valid_shape,), fill=fill)
-            # Padded tail planes are out-of-bounds for the remap, exactly as
-            # the gather path's n_valid_planes treats them
-            remap_fn = self._shear_fn(
-                "remap", r_plan, r_Nc + ((self.dim, self.dim, n_valid),))
+
+            r_plan, r_Nc = plan_view_remap(
+                M, t, g0, g_step, o0, o_step,
+                (self.dim, self.dim, P_pad), vol_shape,
+            )
+            r_stage = (_plan_stage_bytes(r_plan, self.n_classes)
+                       if r_plan.valid else float("inf"))
+            if (r_stage > self._SHEAR_STAGE_BYTES_MAX
+                    or 2 * r_stage + 2 * accum_bytes + pred_bytes
+                    > self._SHEAR_REMAP_PEAK_BYTES_MAX):
+                remap_fn = self._gather_remap_fn(
+                    M, t, g0, g_step, o0, o_step, vol_shape, n_valid)
+            else:
+                # Padded tail planes are out-of-bounds for the remap,
+                # exactly as the gather path's n_valid_planes treats them
+                remap_fn = self._shear_fn(
+                    "remap", r_plan,
+                    r_Nc + ((self.dim, self.dim, n_valid),))
             fns.append((stack_fn, remap_fn))
         return fns
 
@@ -406,6 +479,10 @@ class MultiViewPredictor:
         if self._unet_fn is None:
             self._unet_fn = self._build_unet_stack()
         accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+        # Async dispatch allocates every queued program's outputs eagerly;
+        # at >= 512^3 six queued views' stacks+predictions alone exhaust
+        # HBM (measured RESOURCE_EXHAUSTED), so drain the queue per view
+        big = float(np.prod(out_shape)) * self.n_classes * 4 > 1.5e9
         per_view = [] if return_per_view else None
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
             if self.logger:
@@ -415,8 +492,14 @@ class MultiViewPredictor:
                    else jnp.ones((self.n_classes,), jnp.float32))
             stack = stack_fn(volume)
             pred = self._unet_fn(self.variables, stack)
+            del stack  # release before the remap's HBM peak (async refs
+            # keep donated-into buffers alive until dropped on host)
             accum, argmax_v = remap_fn(pred, accum, w_v,
                                        want_argmax=return_per_view)
+            del pred
+            if big:
+                np.asarray(accum[:1, :1, :1, 0])  # real sync (the remote
+                # transport's block_until_ready can return early)
             if return_per_view:
                 per_view.append(self._fetch_class_map(argmax_v, out_shape,
                                                       true_shape))
@@ -477,26 +560,30 @@ class MultiViewPredictor:
         volume), cropped to the true shape. With defer=True, returns a
         zero-arg callable performing the device->host fetch instead — the
         device work is already dispatched, so a caller can run the fetch on
-        an IO thread and overlap it with the next image's compute."""
-        if fusion_params is not None:
-            fused_dev = jax.nn.softmax(accum + jnp.asarray(b), axis=-1)
-        else:
-            fused_dev = accum / n_views
+        an IO thread and overlap it with the next image's compute.
+
+        One jitted graph with the accumulator donated: the eager form
+        materialized a second full f32 volume next to the accumulator
+        (softmax then argmax), which exhausted HBM at 512^3 x 7 classes."""
         if not return_probs:
-            # Ship only the argmax class map to host (uint8; nibble-packed
-            # when classes fit) — the full softmax volume is nc x 4
-            # bytes/voxel and dominates wall time on remote transports
-            cls = jnp.argmax(fused_dev, axis=-1).astype(jnp.uint8)
-            if self.n_classes <= 16 and cls.shape[2] % 2 == 0:
-                packed = _pack_class_map(cls)
-                fetch = lambda: _unpack_class_map(packed, true_shape)  # noqa: E731
+            # argmax is invariant to softmax and to the sum-fusion 1/n
+            # scaling, so bias + argmax IS the fused class map (b is zeros
+            # when unfused). Ship uint8, nibble-packed when classes fit —
+            # the full softmax volume is nc x 4 bytes/voxel and dominates
+            # wall time on remote transports.
+            pack = self.n_classes <= 16 and accum.shape[2] % 2 == 0
+            out = _fused_argmax_graph(accum, jnp.asarray(b), pack=pack,
+                                      true_shape=true_shape)
+            if pack:
+                fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
             else:
-                crop = cls[: true_shape[0], : true_shape[1], : true_shape[2]]
-                fetch = lambda: np.asarray(crop)  # noqa: E731
+                fetch = lambda: np.asarray(out)  # noqa: E731
         else:
-            crop = fused_dev[
-                : true_shape[0], : true_shape[1], : true_shape[2]]
-            fetch = lambda: np.asarray(crop)  # noqa: E731
+            out = _fused_probs_graph(accum, jnp.asarray(b),
+                                     np.float32(n_views),
+                                     fused=fusion_params is not None,
+                                     true_shape=true_shape)
+            fetch = lambda: np.asarray(out)  # noqa: E731
         return fetch if defer else fetch()
 
     def prestage(self, image, views=None, n_planes="same+20"):

@@ -431,3 +431,23 @@ def test_adaptive_chunk_consistency():
         assert chunk <= max(t, P_pad if P_pad <= t else 0)
         assert P_pad // chunk == steps, (n, P_pad, chunk, steps)
         assert 0 <= P_pad - n < chunk + 2, (n, P_pad, chunk)
+
+
+def test_mixed_mode_shear_stack_gather_remap(label_image):
+    """When the shear REMAP would exceed the HBM peak budget, the predictor
+    keeps the shear plane stack but remaps through the slab-scanned gather
+    kernel — and the result still matches the full gather path."""
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(11))
+    pred_g = _predictor(resampler="gather")
+    pred_m = _predictor(resampler="shear")
+    pred_m._SHEAR_REMAP_PEAK_BYTES_MAX = 0  # force gather remap per view
+
+    fused_g, pv_g = pred_g.predict_image(pair, views, n_planes="same+4")
+    fused_m, pv_m = pred_m.predict_image(pair, views, n_planes="same+4")
+    assert any(k[0] == "gremap" for k in pred_m._shear_fns)
+    assert any(k[0] == "stack" for k in pred_m._shear_fns)
+    assert not any(k[0] == "remap" for k in pred_m._shear_fns)
+    assert (fused_g == fused_m).mean() > 0.97
+    for a, b in zip(pv_g, pv_m):
+        assert (a == b).mean() > 0.95

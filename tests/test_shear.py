@@ -195,3 +195,23 @@ def test_matmul_pass_impl_matches_take(method):
                                   method=method, exact_bounds=(N, c),
                                   impl="matmul"))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic"])
+def test_pallas_pass_impl_matches_take(method):
+    """The Pallas banded-pass executor (interpret mode on CPU) must agree
+    with the take_along_axis implementation to float tolerance."""
+    rng = np.random.RandomState(11)
+    src = rng.rand(20, 14, 10, 2).astype(np.float32)
+    N = _random_affine(rng)
+    c = np.array([10.0, 7.0, 5.0]) - N @ np.array([9.0, 6.0, 4.0])
+    plan = plan_affine_resample(N, c, src.shape[:3], (16, 12, 14))
+    assert plan.valid
+    fill = np.array([2.0, -1.0], np.float32)
+    a = np.asarray(shear_resample(jnp.asarray(src), plan, fill,
+                                  method=method, exact_bounds=(N, c),
+                                  impl="take"))
+    b = np.asarray(shear_resample(jnp.asarray(src), plan, fill,
+                                  method=method, exact_bounds=(N, c),
+                                  impl="pallas"))
+    np.testing.assert_allclose(a, b, atol=5e-4)
