@@ -22,9 +22,9 @@ Two resamplers drive the plane extraction / prediction remap stages:
     (reference semantics bit-for-bit; `ops.interp`). Both stages run at the
     TPU's gather throughput ceiling (~250 ms/view at 256^3).
   * ``shear`` (default via ``auto``): shear-decomposed affine resampling
-    (`ops.shear`) — 9 elementary take_along_axis passes per stage, lowered
-    to contiguous slices (bandwidth-bound, ~10x the gather throughput).
-    Separable-linear instead of joint-trilinear blending; parity-gated
+    (`ops.shear`) — 6 elementary single-axis passes per stage, each a
+    banded interpolation-matrix contraction on the MXU (take_along_axis on
+    CPU). Catmull-Rom forward / linear backward blending; parity-gated
     against the gather path in tests/test_predict_graph.py.
 
 ``auto`` uses shear whenever every view's affine factors within the memory
