@@ -162,8 +162,10 @@ class MultiViewPredictor:
         # 32 -> 3.6-3.7, 69 -> 6.2, 92 -> 4.9 — odd batches tile poorly and
         # large ones blow the working set next to the shear stages and the
         # fusion accumulator, so the adaptive chunk stays even and <= 48.
+        # (At dim > 256, measured on 512^3: chunk 16 -> 48.3 s/vol vs
+        # chunk 8 -> 52.5, integrated.)
         self.chunk = None if chunk is None else int(chunk)
-        self._chunk_target = 48 if self.dim <= 256 else 8
+        self._chunk_target = 48 if self.dim <= 256 else 16
         self.logger = logger
         if resampler not in ("auto", "shear", "gather"):
             raise ValueError(
@@ -172,6 +174,7 @@ class MultiViewPredictor:
             )
         self.resampler = resampler
         self._chunk_cache = {}  # P_pad -> scan chunk
+        self._seen_buckets = set()  # (padded shape, P) combos seen
         self._view_fn = None    # per-view gather graph (argmax side output)
         self._scan_fn = None    # single-dispatch gather view-scan graph
         self._unet_fn = None    # shared plane-stack U-Net (shear path)
@@ -626,6 +629,15 @@ class MultiViewPredictor:
         sampler = image.interpolator
         true_shape = tuple(int(s) for s in image.shape[:3])
         offsets, n_valid = self._prepare_offsets(image, n_planes)
+        bucket = (tuple(int(s) for s in sampler.padded_shape())
+                  + (len(offsets),))
+        if self.logger and bucket not in self._seen_buckets:
+            self._seen_buckets.add(bucket)
+            self.logger(
+                f"Volume bucket {bucket[:3]} x {bucket[3]} planes "
+                f"(cohort bucket #{len(self._seen_buckets)}; first image "
+                f"of a new bucket compiles its graphs — the persistent "
+                f"cache makes this one-time per machine)")
         n_views = len(views)
         W, b = self._fusion_Wb(fusion_params, n_views)
 
