@@ -165,10 +165,15 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         return None
 
     def _finalize(image, fused):
-        to_save = fused() if callable(fused) else fused
-        save_nii_files(to_save, image, nii_dir, args.save_input_files,
-                       logger)
-        image.unload()
+        try:
+            to_save = fused() if callable(fused) else fused
+            save_nii_files(to_save, image, nii_dir, args.save_input_files,
+                           logger)
+        finally:
+            # Never leak the staged volume (host + device) on a failed
+            # fetch/save — the exception still surfaces at the caller's
+            # out_future.result()
+            image.unload()
 
     next_future = io_pool.submit(_preload, 0)
     out_future = None

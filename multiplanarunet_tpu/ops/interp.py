@@ -422,6 +422,26 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
     """
     X, Y, Z = out_shape
     C = pred.shape[-1]
+    x_slab, n_slabs, one_slab = _view_slab_mapper(
+        pred, plane_start, plane_step, offset_start, offset_step, M, t,
+        (X, Y, Z), valid_planes, method, x_slab)
+    if n_slabs == 1:
+        return one_slab(jnp.asarray(0))
+    out = jax.lax.map(one_slab, jnp.arange(n_slabs))
+    return out.reshape((X, Y, Z, C))
+
+
+def _view_slab_mapper(pred, plane_start, plane_step, offset_start,
+                      offset_step, M, t, out_shape, valid_planes, method,
+                      x_slab):
+    """Shared slab machinery of the view remaps: picks the X-slab size and
+    returns (x_slab, n_slabs, one_slab) where one_slab(i) maps slab i of
+    the voxel grid from the prediction stack. Scanning X-slabs keeps only
+    one slab's coordinate grid live (at 512^3 the full (X, Y, Z, 3) grid
+    alone is 1.6 GB); a single pass is both fastest and affordable up to
+    ~256^3 (<= 200 MB of coordinates)."""
+    X, Y, Z = out_shape
+    C = pred.shape[-1]
     fill = jnp.zeros((C,), pred.dtype).at[0].set(1.0)
     origin = jnp.stack([plane_start, plane_start, offset_start])
     spacing = jnp.stack([plane_step, plane_step, offset_step])
@@ -429,14 +449,12 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
         jnp.asarray(pred.shape[0]), jnp.asarray(pred.shape[1]),
         jnp.asarray(valid_planes),
     ])
-
-    # Scan over X-slabs so only one slab's coordinate grid is live at a time
-    # (at 512^3 the full (X, Y, Z, 3) grid alone is 1.6 GB). A single pass is
-    # both fastest and affordable up to ~256^3 (<= 200 MB of coordinates).
     if x_slab is None:
         x_slab = X if X * Y * Z <= 256 ** 3 else max(32, X // 16)
     if X % x_slab:
-        x_slab = X  # fall back to single pass for odd shapes
+        # Largest divisor <= the target — never fall back to one full pass
+        # (the slab structure IS the memory guard for big volumes)
+        x_slab = max(d for d in range(1, x_slab + 1) if X % d == 0)
     n_slabs = X // x_slab
 
     def one_slab(slab_idx):
@@ -452,10 +470,7 @@ def map_view_pred_affine(pred, plane_start, plane_step, offset_start,
         return grid_gather(pred, origin, spacing, pts, method=method,
                            fill=fill, valid_shape=valid)
 
-    if n_slabs == 1:
-        return one_slab(jnp.asarray(0))
-    out = jax.lax.map(one_slab, jnp.arange(n_slabs))
-    return out.reshape((X, Y, Z, C))
+    return x_slab, n_slabs, one_slab
 
 
 def accum_view_pred_affine(pred, plane_start, plane_step, offset_start,
@@ -471,33 +486,13 @@ def accum_view_pred_affine(pred, plane_start, plane_step, offset_start,
     Returns (accum + w * mapped, argmax uint8 map or None)."""
     X, Y, Z = accum.shape[:3]
     C = pred.shape[-1]
-    fill = jnp.zeros((C,), pred.dtype).at[0].set(1.0)
-    origin = jnp.stack([plane_start, plane_start, offset_start])
-    spacing = jnp.stack([plane_step, plane_step, offset_step])
-    valid = jnp.stack([
-        jnp.asarray(pred.shape[0]), jnp.asarray(pred.shape[1]),
-        jnp.asarray(valid_planes),
-    ])
-    if x_slab is None:
-        x_slab = X if X * Y * Z <= 256 ** 3 else max(32, X // 16)
-    if X % x_slab:
-        x_slab = X
-    n_slabs = X // x_slab
+    x_slab, n_slabs, one_slab = _view_slab_mapper(
+        pred, plane_start, plane_step, offset_start, offset_step, M, t,
+        (X, Y, Z), valid_planes, method, x_slab)
 
     def body(slab_idx, carry):
         accum, side = carry
-        x0 = (slab_idx * x_slab).astype(jnp.float32)
-        ii = x0 + jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 0)
-        jj = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 1)
-        kk = jax.lax.broadcasted_iota(jnp.float32, (x_slab, Y, Z), 2)
-        pts = jnp.stack(
-            [M[a, 0] * ii + M[a, 1] * jj + M[a, 2] * kk + t[a]
-             for a in range(3)],
-            axis=-1,
-        )
-        mapped = grid_gather(pred, origin, spacing, pts, method=method,
-                             fill=fill, valid_shape=valid
-                             ).astype(jnp.float32)
+        mapped = one_slab(slab_idx).astype(jnp.float32)
         start = (slab_idx * x_slab, 0, 0, 0)
         upd = jax.lax.dynamic_slice(
             accum, start, (x_slab, Y, Z, C)) + w * mapped

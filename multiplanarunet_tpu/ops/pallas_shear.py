@@ -58,12 +58,11 @@ def _support(method):
 
 
 def _kernel_weights_f32(x, method):
-    ax = jnp.abs(x)
-    if method == "linear":
-        return jnp.maximum(1.0 - ax, 0.0)
-    near = 1.5 * ax ** 3 - 2.5 * ax ** 2 + 1.0
-    far = -0.5 * ax ** 3 + 2.5 * ax ** 2 - 4.0 * ax + 2.0
-    return jnp.where(ax <= 1.0, near, jnp.where(ax <= 2.0, far, 0.0))
+    # Single source of truth for the interpolation kernels — the matmul
+    # and pallas executors must never diverge numerically
+    from multiplanarunet_tpu.ops.shear import _kernel_weights
+
+    return _kernel_weights(x, method, jnp)
 
 
 def _plan_tiles(alpha, beta, gamma, out_lo, in_lo, q_lo, T, L_in,
@@ -166,7 +165,7 @@ def _build_pass_call(key):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_q, n_rc, n_t),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (QB, TT, RCB), lambda qi, ri, ti, *_: (qi, ti, ri),
             memory_space=pltpu.VMEM),

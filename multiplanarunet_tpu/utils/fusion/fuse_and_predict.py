@@ -437,9 +437,9 @@ class MultiViewPredictor:
         n_ch = int(sampler.n_channels)
 
         # Peak HBM of a shear remap: accum (donated) + mapped, both f32,
-        # the f32 U-Net prediction stack, and two live bf16 stages
+        # the bf16 U-Net prediction stack, and two live bf16 stages
         accum_bytes = float(np.prod(vol_shape)) * self.n_classes * 4
-        pred_bytes = float(self.dim * self.dim * P_pad) * self.n_classes * 4
+        pred_bytes = float(self.dim * self.dim * P_pad) * self.n_classes * 2
 
         fns = []
         for basis, (M, t) in zip(bases, Mts):
@@ -577,15 +577,21 @@ class MultiViewPredictor:
             pack = self.n_classes <= 16 and accum.shape[2] % 2 == 0
             out = _fused_argmax_graph(accum, jnp.asarray(b), pack=pack,
                                       true_shape=true_shape)
-            if pack:
-                fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
-            else:
-                fetch = lambda: np.asarray(out)  # noqa: E731
+            return self._deferred_class_fetch(out, true_shape, pack, defer)
+        out = _fused_probs_graph(accum, jnp.asarray(b),
+                                 np.float32(n_views),
+                                 fused=fusion_params is not None,
+                                 true_shape=true_shape)
+        return self._deferred_class_fetch(out, true_shape, False, defer)
+
+    @staticmethod
+    def _deferred_class_fetch(out, true_shape, pack, defer):
+        """Fetch (or defer-fetch) a device-side result: `out` is either a
+        nibble-packed full-bucket class map (pack=True) or an already
+        cropped array."""
+        if pack:
+            fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
         else:
-            out = _fused_probs_graph(accum, jnp.asarray(b),
-                                     np.float32(n_views),
-                                     fused=fusion_params is not None,
-                                     true_shape=true_shape)
             fetch = lambda: np.asarray(out)  # noqa: E731
         return fetch if defer else fetch()
 
@@ -686,13 +692,12 @@ class MultiViewPredictor:
                 return_probs=return_probs,
             )
             if not return_probs:  # bias + argmax (packed) already in graph
-                if self.n_classes <= 16 and out_shape[2] % 2 == 0:
-                    fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
-                else:
-                    crop = out[: true_shape[0], : true_shape[1],
-                               : true_shape[2]]
-                    fetch = lambda: np.asarray(crop)  # noqa: E731
-                return (fetch if defer_fetch else fetch()), None
+                pack = self.n_classes <= 16 and out_shape[2] % 2 == 0
+                if not pack:
+                    out = out[: true_shape[0], : true_shape[1],
+                              : true_shape[2]]
+                return self._deferred_class_fetch(
+                    out, true_shape, pack, defer_fetch), None
             return (self._fuse_tail(out, fusion_params, b, n_views,
                                     return_probs, true_shape,
                                     defer=defer_fetch), None)
