@@ -159,6 +159,7 @@ def map_layers(layers, logger=print):
                 "moving_mean": ("batch_stats", "mean"),
                 "moving_variance": ("batch_stats", "var")}
     for name, target in mapping.items():
+        shapes = []
         for leaf, arr in layers[name].items():
             if leaf not in leaf_map:
                 logger(f"[skip] {name}/{leaf}: unknown weight kind")
@@ -166,6 +167,12 @@ def map_layers(layers, logger=print):
             coll, our_leaf = leaf_map[leaf]
             (params if coll == "params" else batch_stats)[
                 f"{target}/{our_leaf}"] = arr
+            shapes.append(f"{our_leaf}{tuple(arr.shape)}")
+        # Per-layer shape trace: conversion is by NAME only, so a
+        # checkpoint from a different depth/filters model maps cleanly and
+        # only surfaces at restore time (restore_by_name warns and skips
+        # shape-mismatched keys) — this log is the converter-side evidence.
+        logger(f"  {name} -> {target}: {' '.join(shapes)}")
     return params, batch_stats
 
 
@@ -192,7 +199,9 @@ def entry_func(args=None):
     print(f"Wrote {len(params)} param + {len(batch_stats)} batch-stat "
           f"arrays to {out}")
     print("Use it via 'mp train --initialize_from <npz>' or by placing it "
-          "in <project>/model/.")
+          "in <project>/model/. Array shapes are validated when the "
+          "checkpoint is loaded against a model (mismatches are skipped "
+          "with a warning).")
 
 
 if __name__ == "__main__":

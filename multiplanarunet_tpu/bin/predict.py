@@ -181,12 +181,14 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         for i, image_id in enumerate(todo):
             image = next_future.result()
             next_future = io_pool.submit(_preload, i + 1)
-            if out_future is not None:
-                # Bound in-flight results to one (each holds a device-side
-                # class map until fetched) and surface save errors promptly
-                out_future.result()
-                out_future = None
             try:
+                if out_future is not None:
+                    # Bound in-flight results to one (each holds a device-
+                    # side class map until fetched) and surface save errors
+                    # promptly. Cleared BEFORE .result() so a raised save
+                    # error still unloads the current image in the finally.
+                    pending_out, out_future = out_future, None
+                    pending_out.result()
                 logger(f"\n--- Predicting on {image_id} "
                        f"(shape {tuple(image.shape)}) ---")
                 evaluate = (not args.no_eval and image.labels is not None
@@ -237,6 +239,14 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if out_future is not None:
             out_future.result()
     finally:
+        # Drain the in-flight preload so an aborted run does not leak its
+        # staged host+device volume
+        try:
+            pending = next_future.result(timeout=300)
+            if pending is not None:
+                pending.unload()
+        except Exception:
+            pass
         io_pool.shutdown(wait=False)
         out_pool.shutdown(wait=True)
     if not args.no_eval:
@@ -310,7 +320,13 @@ def entry_func(args=None):
     )
     import jax
 
-    devices = jax.devices()
+    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
+
+    n_procs, _ = maybe_initialize_distributed(logger=logger)
+    # Multi-process predict keeps a per-host mesh: each process predicts
+    # with its own local devices (images are independent work items; use
+    # cv_experiment-style splitting to spread a cohort over hosts).
+    devices = jax.local_devices() if n_procs > 1 else jax.devices()
     if args.num_devices:
         devices = devices[: args.num_devices]
     predictor.mesh = None

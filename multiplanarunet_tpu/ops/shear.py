@@ -459,8 +459,28 @@ def shear_resample(src, plan: ShearPlan, fill, method="linear",
     C = src.shape[-1]
     out_dtype = out_dtype or compute_dtype
     A = src.astype(compute_dtype)
-    A = jnp.concatenate(
-        [A, jnp.ones(A.shape[:3] + (1,), compute_dtype)], axis=-1)
+    valid0 = jnp.ones(A.shape[:3] + (1,), compute_dtype)
+    if exact_bounds is not None and len(exact_bounds) > 2:
+        bshape = tuple(int(s) for s in exact_bounds[2])
+        if bshape != tuple(src.shape[:3]):
+            # src is bucket-padded beyond its true extent: zero BOTH the
+            # data and the validity there, so blending taps that reach
+            # past the true upper edge renormalize out via the final
+            # validity division (mirror of the lower-edge window
+            # masking). With validity 1 on zero pads, a cubic tap within
+            # 2 voxels of the true edge darkens intensities by up to ~6%;
+            # on the remap side the padded tail planes hold U-Net outputs
+            # of padded inputs — garbage that must not blend in.
+            mask = valid0
+            for a, (size, lim) in enumerate(zip(src.shape[:3], bshape)):
+                if size != lim:
+                    idx = jnp.arange(size) < lim
+                    mask = mask * idx.astype(compute_dtype).reshape(
+                        tuple(size if i == a else 1 for i in range(3))
+                        + (1,))
+            valid0 = mask
+            A = A * valid0
+    A = jnp.concatenate([A, valid0], axis=-1)
     A = jnp.transpose(A, plan.perm + (3,))
     for op in plan.ops:
         A = _pass_jnp(A, op, method, impl=impl)

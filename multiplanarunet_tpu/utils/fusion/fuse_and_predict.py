@@ -34,6 +34,7 @@ very large volumes).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 
 import jax
@@ -138,6 +139,9 @@ class MultiViewPredictor:
     # worker crash), so such volumes keep the shear plane-stack but remap
     # through the slab-scanned gather kernel instead.
     _SHEAR_REMAP_PEAK_BYTES_MAX = 11e9
+    # LRU bound on cached per-geometry jitted shear/remap fns (~12 entries
+    # per subject geometry: 6 views x stack+remap)
+    _SHEAR_FN_CACHE_MAX = 64
 
     def __init__(self, model, variables, sample_dim, real_space_span,
                  n_classes, chunk=None, logger=None, resampler="auto"):
@@ -178,7 +182,12 @@ class MultiViewPredictor:
         self._view_fn = None    # per-view gather graph (argmax side output)
         self._scan_fn = None    # single-dispatch gather view-scan graph
         self._unet_fn = None    # shared plane-stack U-Net (shear path)
-        self._shear_fns = {}    # plan signature -> jitted resample fn
+        # plan signature -> jitted resample fn. Shear plans key on exact
+        # per-image geometry, so a heterogeneous cohort creates new
+        # entries per subject — bounded LRU so memory stays capped over
+        # long cohorts (the underlying XLA executables still share via
+        # the persistent compile cache when extents quantize alike).
+        self._shear_fns = OrderedDict()
 
     def _chunk_for(self, P_pad):
         """Scan chunk for a P_pad-plane stack. P_pad (a trace-time constant)
@@ -343,12 +352,23 @@ class MultiViewPredictor:
         g_step = (-2.0 * g0) / (self.dim - 1)
         return g0, g_step, float(offsets[0]), float(offsets[1] - offsets[0])
 
+    def _shear_cache_get(self, key):
+        fn = self._shear_fns.get(key)
+        if fn is not None:
+            self._shear_fns.move_to_end(key)
+        return fn
+
+    def _shear_cache_put(self, key, fn):
+        self._shear_fns[key] = fn
+        while len(self._shear_fns) > self._SHEAR_FN_CACHE_MAX:
+            self._shear_fns.popitem(last=False)
+
     def _shear_fn(self, kind, plan, bounds, fill=None):
         """Cached jitted shear resample for one (plan, bounds) — reused
         across repeated predictions with the same geometry."""
         key = (kind, _plan_signature(plan, bounds),
                None if fill is None else np.asarray(fill).tobytes())
-        fn = self._shear_fns.get(key)
+        fn = self._shear_cache_get(key)
         if fn is not None:
             return fn
         if kind == "stack":
@@ -388,7 +408,7 @@ class MultiViewPredictor:
                         side = _pack_class_map(side)
                 return accum + w_v * mapped, side
 
-        self._shear_fns[key] = fn
+        self._shear_cache_put(key, fn)
         return fn
 
     def _gather_remap_fn(self, M, t, g0, g_step, o0, o_step, out_shape,
@@ -400,7 +420,7 @@ class MultiViewPredictor:
         t = np.asarray(t, np.float32)
         key = ("gremap", M.tobytes(), t.tobytes(), g0, g_step, o0, o_step,
                out_shape, n_valid)
-        fn = self._shear_fns.get(key)
+        fn = self._shear_cache_get(key)
         if fn is not None:
             return fn
 
@@ -417,7 +437,7 @@ class MultiViewPredictor:
                 side = _pack_class_map(side)
             return accum, side
 
-        self._shear_fns[key] = fn
+        self._shear_cache_put(key, fn)
         return fn
 
     def _plan_shear_views(self, image, bases, Mts, offsets, n_valid):
@@ -726,6 +746,84 @@ class MultiViewPredictor:
                                 defer=defer_fetch), per_view)
 
     # ------------------------------------------------------- multi-chip path
+    def _predict_sharded_shear(self, image, views, mesh, fusion_params,
+                               n_planes):
+        """Multi-chip SHEAR inference: place each view's specialized shear
+        programs on its own device (view v -> device v % n).
+
+        Shear plans are per-view trace-time constants (different pass
+        permutations and extents), so they cannot run as one uniform SPMD
+        program without either padding every extent to the view-set max or
+        compiling a lax.switch over all plan shapes on every chip. Instead
+        of paying that, this path exploits jax's single-controller
+        multi-device dispatch: the volume + parameters are copied to every
+        participating device, each device executes its views' OWN compiled
+        stack -> U-Net -> remap graphs (async dispatch runs the devices
+        concurrently), and the per-device fusion partial sums reduce onto
+        device 0 with explicit inter-chip copies. Zero padding overhead vs
+        single-chip specialization — the same cached jitted fns run, just
+        placed per device.
+
+        Returns the fused argmax map (uint8, true shape), or None when a
+        view's affine does not factor (caller falls back to the uniform
+        gather shard_map path)."""
+        sampler = image.interpolator
+        true_shape = tuple(int(s) for s in image.shape[:3])
+        offsets, n_valid = self._prepare_offsets(image, n_planes)
+        bases = [geometry.plane_basis(v, noise_sd=0.0) for v in views]
+        Mts = [self._remap_transform(image, b, true_shape) for b in bases]
+        shear_fns = self._plan_shear_views(image, bases, Mts, offsets,
+                                           n_valid)
+        if shear_fns is None:
+            return None
+        devices = list(mesh.devices.ravel())
+        n_use = min(len(devices), len(views))
+        W, b = self._fusion_Wb(fusion_params, len(views))
+
+        volume = sampler.device_volume_unpacked()
+        out_shape = tuple(int(s) for s in volume.shape[:3])
+        if self._unet_fn is None:
+            self._unet_fn = self._build_unet_stack()
+
+        from jax.sharding import SingleDeviceSharding
+
+        # Inter-chip copies (volume ~bf16, params once per device); on a
+        # real slice these ride ICI, never the host link
+        vols = [volume] + [jax.device_put(volume, d)
+                           for d in devices[1:n_use]]
+        varss = [self.variables] + [jax.device_put(self.variables, d)
+                                    for d in devices[1:n_use]]
+        zeros = [
+            jax.jit(partial(jnp.zeros, out_shape + (self.n_classes,),
+                            jnp.float32),
+                    out_shardings=SingleDeviceSharding(d))()
+            for d in devices[:n_use]
+        ]
+        accums = list(zeros)
+        for v, (stack_fn, remap_fn) in enumerate(shear_fns):
+            d = v % n_use
+            if self.logger:
+                self.logger(f"View {v + 1}/{len(views)}: "
+                            f"{np.round(views[v], 4)} "
+                            f"(shear, device {d})")
+            # w_v stays an UNcommitted host array so the jitted fns follow
+            # their committed operands onto device d
+            w_v = (np.asarray(W[v], np.float32) if W is not None
+                   else np.ones((self.n_classes,), np.float32))
+            stack = stack_fn(vols[d])
+            pred = self._unet_fn(varss[d], stack)
+            accums[d], _ = remap_fn(pred, accums[d], w_v,
+                                    want_argmax=False)
+        total = accums[0]
+        add = jax.jit(jnp.add)
+        for a in accums[1:]:
+            total = add(total, jax.device_put(a, devices[0]))
+        pack = self.n_classes <= 16 and out_shape[2] % 2 == 0
+        out = _fused_argmax_graph(total, jnp.asarray(b), pack, true_shape)
+        if pack:
+            return _unpack_class_map(np.asarray(out), true_shape)
+        return np.asarray(out)
+
     def predict_image_sharded(self, image, views, mesh, fusion_params=None,
                               n_planes="same+20"):
         """Multi-chip inference: shard the VIEWS across the mesh.
@@ -737,7 +835,23 @@ class MultiViewPredictor:
         independent until the final linear fusion). Views pad to a multiple
         of the device count with zero-weight dummies.
 
-        Returns the fused argmax class map (uint8, true shape)."""
+        Returns the fused argmax class map (uint8, true shape).
+
+        Resampler dispatch mirrors single-chip `predict_image`: shear-
+        capable geometries run `_predict_sharded_shear` (per-device view
+        placement, 2.3x faster resampling); the uniform gather shard_map
+        program below is the exact fallback."""
+        if self.resampler in ("auto", "shear"):
+            out = self._predict_sharded_shear(image, views, mesh,
+                                              fusion_params, n_planes)
+            if out is not None:
+                return out
+            if self.resampler == "shear":
+                raise ValueError(
+                    "resampler='shear' requested but a view affine does "
+                    "not factor within the memory guard; use 'auto' or "
+                    "'gather'"
+                )
         from jax.sharding import PartitionSpec as P
 
         try:
