@@ -169,8 +169,16 @@ def run(project_dir, logger, args):
     import jax
 
     from multiplanarunet_tpu.hyperparameters import YAMLHParams
-    from multiplanarunet_tpu.parallel import get_mesh
+    from multiplanarunet_tpu.parallel import (
+        get_mesh,
+        maybe_initialize_distributed,
+    )
     from multiplanarunet_tpu.train import Trainer
+
+    # Multi-host: join the process group before any device use (no-op
+    # single-process). The global mesh below then spans all hosts and each
+    # process's sequences feed its local batch share.
+    maybe_initialize_distributed(logger=logger)
 
     if getattr(args, "debug", False):
         jax.config.update("jax_debug_nans", True)

@@ -10,5 +10,6 @@ from multiplanarunet_tpu.parallel.mesh import (
 from multiplanarunet_tpu.parallel.distributed import (
     initialize_distributed,
     local_batch_slice,
+    maybe_initialize_distributed,
     task_group_mesh,
 )

@@ -15,7 +15,53 @@ GPU sets (`bin/cv_experiment.py`). On TPU pods the equivalents are:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Environment markers that signal a multi-process launch. The MPUNET_*
+# triple is this framework's explicit form (set by a job launcher); the
+# rest are standard cluster environments jax.distributed auto-detects.
+_DIST_ENV_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+    "TPU_WORKER_HOSTNAMES",
+)
+
+
+def maybe_initialize_distributed(logger=None):
+    """Entry-point hook (`mp train` / `mp predict` / `mp train_fusion`):
+    initialize jax.distributed when a multi-process environment is
+    detected, no-op otherwise. Replaces the reference's out-of-band GPU
+    pinning (`mpunet/bin/train.py:349` MirroredStrategy scope +
+    CUDA_VISIBLE_DEVICES) with TPU-native process-group setup.
+
+    Detection: MPUNET_COORDINATOR_ADDRESS (+ MPUNET_NUM_PROCESSES /
+    MPUNET_PROCESS_ID) set explicitly by a launcher, or any standard
+    cluster marker (Slurm, OpenMPI, Cloud TPU pod metadata), which
+    jax.distributed.initialize resolves itself. Returns
+    (process_count, process_index)."""
+    import jax
+
+    addr = os.environ.get("MPUNET_COORDINATOR_ADDRESS")
+    if addr:
+        n, i = initialize_distributed(
+            addr,
+            int(os.environ["MPUNET_NUM_PROCESSES"]),
+            int(os.environ["MPUNET_PROCESS_ID"]),
+        )
+    elif any(m in os.environ for m in _DIST_ENV_MARKERS):
+        n, i = initialize_distributed()
+    else:
+        return jax.process_count(), jax.process_index()
+    if logger is not None and n > 1:
+        logger(f"Distributed: process {i + 1}/{n}, "
+               f"{jax.device_count()} global / "
+               f"{jax.local_device_count()} local device(s)")
+    return n, i
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

@@ -38,16 +38,36 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Place a pytree of batch arrays with the leading axis sharded."""
+    """Place a pytree of batch arrays with the leading axis sharded.
+
+    Multi-process (multi-host) meshes: each process passes its LOCAL slice
+    of the global batch (`local_batch_slice` sizes it) and the global
+    jax.Array is assembled from the per-process data — the device_put path
+    cannot address remote devices."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
 
 
 def replicate(tree, mesh):
-    """Fully replicate a pytree (params, opt state) over the mesh."""
+    """Fully replicate a pytree (params, opt state) over the mesh.
+
+    Multi-process: every process must hold identical values (same init
+    seed / restored checkpoint), which become the replicated global array."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), np.shape(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )

@@ -53,6 +53,10 @@ class Trainer:
         self.logger = logger or ScreenLogger()
         self.mesh = mesh if mesh is not None else mesh_lib.get_mesh()
         self.n_devices = len(self.mesh.devices.ravel())
+        # Multi-host: each process samples + pads only its local share of
+        # the global batch (shard_batch assembles the global jax.Array)
+        self.n_processes = jax.process_count()
+        self._n_local_devices = max(1, self.n_devices // self.n_processes)
 
         self.tx = None
         self.loss_obj = None
@@ -143,7 +147,8 @@ class Trainer:
                     tuple(s[2] for s in sharded))
         if self.n_devices <= 1:
             return X, y, w
-        pad = mesh_lib.pad_batch_to_multiple(X.shape[0], self.n_devices) - X.shape[0]
+        pad = mesh_lib.pad_batch_to_multiple(
+            X.shape[0], self._n_local_devices) - X.shape[0]
         if pad:
             import jax.numpy as jnp
 
@@ -214,11 +219,24 @@ class Trainer:
 
     def _fit(self, train, val, batch_size, n_epochs, callbacks,
              train_im_per_epoch, val_im_per_epoch, init_epoch, verbose):
-        train.batch_size = batch_size
+        # Multi-host data parallelism: `batch_size` is the GLOBAL batch;
+        # each process's sequence samples only its local share (the random
+        # samplers are independent per host, which IS the sharded input
+        # pipeline). Steps/epoch stay defined by the global batch.
+        local_bs = batch_size
+        if self.n_processes > 1:
+            if batch_size % self.n_processes:
+                raise ValueError(
+                    f"batch_size={batch_size} not divisible by "
+                    f"{self.n_processes} processes")
+            from multiplanarunet_tpu.parallel import local_batch_slice
+
+            _, local_bs = local_batch_slice(batch_size)
+        train.batch_size = local_bs
         steps_per_epoch = max(1, int(train_im_per_epoch / batch_size))
         cb_objs = []
         if val is not None:
-            val.batch_size = batch_size
+            val.batch_size = local_bs
             val_steps = max(1, int(val_im_per_epoch / batch_size))
             cb_objs.append(Validation(val, val_steps, logger=self.logger,
                                       verbose=verbose))
