@@ -67,7 +67,7 @@ def grid_gather(values, origin, spacing, points, method="linear", fill=None,
       origin:  (3,) real-space position of voxel (0,0,0) on each axis.
       spacing: (3,) axis step.
       points:  (..., 3) real-space query positions.
-      method:  'linear' | 'nearest'.
+      method:  'linear' | 'nearest' | 'knn' (7-point neighbor vote).
       fill:    scalar or (C,) out-of-bounds fill; 0 if None.
       valid_shape: optional (3,) int array giving the TRUE spatial extent when
         `values` is padded to a larger bucket shape; bounds checks and index
@@ -108,6 +108,25 @@ def grid_gather(values, origin, spacing, points, method="linear", fill=None,
                     w = (wx * wy * wz)[..., None]
                     contrib = corner * w
                     out = contrib if out is None else out + contrib
+    elif method in ("knn", "kNN"):
+        # Neighbor-vote mode (reference RegularGridInterpolator
+        # method="kNN", `mpunet/interpolation/regular_grid_interpolator.py:
+        # 196-250`): the nearest voxel and its six axis neighbors vote with
+        # their channel vectors, summed and normalized to a unit channel
+        # sum — meant for fusing softmax probability volumes. Neighbor
+        # indices clamp per-axis to the valid extent (the reference clamps
+        # every axis with axis i's size — a latent bug its live paths never
+        # hit; this implementation clamps correctly).
+        idx = jnp.where(frac <= 0.5, i0, i0 + 1)
+        hi = jnp.asarray(bounds, jnp.int32) - 1
+        out = None
+        for d in ((0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0),
+                  (0, 1, 0), (0, 0, -1), (0, 0, 1)):
+            j = jnp.clip(idx + jnp.asarray(d, jnp.int32), 0, hi)
+            v = _flat_gather(vol_flat, j[..., 0], j[..., 1], j[..., 2],
+                             D1, D2)
+            out = v if out is None else out + v
+        out = out / jnp.sum(out, axis=-1, keepdims=True)
     else:
         raise ValueError(f"Unknown method '{method}'")
     return jnp.where(oob[..., None], fill, out)

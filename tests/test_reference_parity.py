@@ -131,6 +131,51 @@ def test_gather_matches_reference_interpolator(ref_modules):
         np.testing.assert_allclose(got, want, atol=atol)
 
 
+def test_knn_vote_matches_reference_interpolator(ref_modules):
+    """grid_gather method='knn' == the reference's kNN neighbor-vote mode
+    on softmax-like channel vectors (cubic volume: the reference clamps
+    neighbor indices with a single axis size, so only cubic shapes are
+    comparable — see the grid_gather docstring)."""
+    rgi_mod, _ = ref_modules
+    from multiplanarunet_tpu.ops.interp import grid_gather
+
+    rng = np.random.RandomState(4)
+    vol = rng.rand(10, 10, 10, 3).astype(np.float32)
+    vol /= vol.sum(-1, keepdims=True)
+    axes = tuple(np.arange(10, dtype=np.float32) - 4.5 for _ in range(3))
+    origin = np.full(3, -4.5, np.float32)
+    spacing = np.ones(3, np.float32)
+    # Interior points only: at the grid boundary the reference's clamp-
+    # then-undo neighbor bookkeeping corrupts the base index (+1 clamp to
+    # size-1 followed by -1 lands on size-2) — a latent bug we do not
+    # reproduce. Far out-of-bounds points exercise the vector fill.
+    pts = np.concatenate([
+        (rng.rand(300, 3) * 6.8 - 3.4),          # nearest idx in [1, 8]
+        (rng.rand(20, 3) * 4.0 + 5.0),           # all out of bounds
+    ]).astype(np.float32)
+
+    fill = np.array([1.0, 0.0, 0.0], np.float32)
+    ref = rgi_mod.RegularGridInterpolator(
+        axes, vol, method="kNN", bounds_error=False, fill_value=fill,
+        dtype=np.float32,
+    )
+
+    # The reference's _evaluate_NN indexes `values[list_of_index_arrays]`,
+    # which numpy < 1.15 treated as tuple (multi-axis) indexing; restore
+    # that legacy behavior on the oracle's value array only.
+    class _LegacyIndexing(np.ndarray):
+        def __getitem__(self, idx):
+            if isinstance(idx, list):
+                idx = tuple(idx)
+            return super().__getitem__(idx)
+
+    ref.values = ref.values.view(_LegacyIndexing)
+    want = ref(pts)
+    got = np.asarray(grid_gather(
+        vol, origin, spacing, pts, method="knn", fill=fill))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_view_sampling_statistics_match(ref_modules):
     """get_random_views under a fixed seed matches the reference's generator
     (same formula: normalized gaussian deviates, +z hemisphere)."""
