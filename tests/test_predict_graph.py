@@ -301,6 +301,50 @@ def test_sharded_multichip_predict_matches_sequential(label_image):
     np.testing.assert_array_equal(b, np.asarray(a))
 
 
+def test_sharded_shear_predict_matches_sequential(label_image):
+    """Multi-chip SHEAR inference (per-device view placement) equals the
+    sequential shear result bit-for-bit when views <= devices: the SAME
+    cached per-view compiled programs run, placed on different devices,
+    and the partial-sum reduction preserves view order."""
+    from multiplanarunet_tpu.parallel import get_mesh
+
+    pair, lab = label_image
+    views = geometry.get_random_views(5, rng=np.random.RandomState(8))
+    pred = _predictor(resampler="shear")
+    mesh = get_mesh()  # 8 virtual CPU devices (conftest)
+
+    fused_seq, _ = pred.predict_image(pair, views, fusion_params=None,
+                                      n_planes="same",
+                                      return_per_view=False)
+    fused_sh = pred.predict_image_sharded(pair, views, mesh,
+                                          n_planes="same")
+    np.testing.assert_array_equal(fused_sh, np.asarray(fused_seq))
+
+    # More views than devices: reduction order differs (per-device partial
+    # sums), so allow rare f32 argmax tie flips only
+    views9 = geometry.get_random_views(9, rng=np.random.RandomState(9))
+    a, _ = pred.predict_image(pair, views9, fusion_params=None,
+                              n_planes="same", return_per_view=False)
+    b = pred.predict_image_sharded(pair, views9, mesh, n_planes="same")
+    agree = (np.asarray(a) == b).mean()
+    assert agree > 0.999, agree
+
+    # Learned fusion weights flow through the placed remap fns
+    fusion_params = {
+        "fusion": {
+            "W": np.linspace(0.5, 1.5, 5 * N_CLASSES,
+                             dtype=np.float32).reshape(5, N_CLASSES),
+            "b": np.full((1, N_CLASSES), 0.1, np.float32),
+        }
+    }
+    fa = pred.predict_image(pair, views, fusion_params=fusion_params,
+                            n_planes="same", return_per_view=False)[0]
+    fb = pred.predict_image_sharded(pair, views, mesh,
+                                    fusion_params=fusion_params,
+                                    n_planes="same")
+    np.testing.assert_array_equal(fb, np.asarray(fa))
+
+
 def _oracle_pair(tmp_path, affine, name):
     rng = np.random.RandomState(0)
     lab = np.zeros((SIZE, SIZE, SIZE), np.uint8)
