@@ -788,11 +788,13 @@ class MultiViewPredictor:
         from jax.sharding import SingleDeviceSharding
 
         # Inter-chip copies (volume ~bf16, params once per device); on a
-        # real slice these ride ICI, never the host link
-        vols = [volume] + [jax.device_put(volume, d)
-                           for d in devices[1:n_use]]
-        varss = [self.variables] + [jax.device_put(self.variables, d)
-                                    for d in devices[1:n_use]]
+        # real slice these ride ICI, never the host link. Device 0 is
+        # pinned too: callers may hand in mesh-replicated variables (e.g.
+        # fresh trainer state), and a replicated operand would drag the
+        # whole per-view graph back to an all-device sharding.
+        vols = [jax.device_put(volume, d) for d in devices[:n_use]]
+        varss = [jax.device_put(self.variables, d)
+                 for d in devices[:n_use]]
         zeros = [
             jax.jit(partial(jnp.zeros, out_shape + (self.n_classes,),
                             jnp.float32),
