@@ -363,11 +363,21 @@ class MultiViewPredictor:
         while len(self._shear_fns) > self._SHEAR_FN_CACHE_MAX:
             self._shear_fns.popitem(last=False)
 
-    def _shear_fn(self, kind, plan, bounds, fill=None):
+    def _shear_fn(self, kind, plan, bounds, fill=None, ch_group=None):
         """Cached jitted shear resample for one (plan, bounds) — reused
-        across repeated predictions with the same geometry."""
+        across repeated predictions with the same geometry.
+
+        For kind="remap", `ch_group` (None = all classes at once, f32
+        output) runs the pass sequence over channel groups of that size
+        and concatenates bfloat16 parts: every shear stage shrinks
+        proportionally to the group width, which is what lets 512^3-class
+        volumes keep the fast shear remap (measured 0.2-0.5 s/view)
+        instead of falling back to the slab-scanned gather (3.6 s/view —
+        the per-point gather ceiling). The f32 fusion accumulation is
+        unchanged; only the mapped probabilities pass through bf16."""
         key = (kind, _plan_signature(plan, bounds),
-               None if fill is None else np.asarray(fill).tobytes())
+               None if fill is None else np.asarray(fill).tobytes(),
+               ch_group)
         fn = self._shear_cache_get(key)
         if fn is not None:
             return fn
@@ -388,18 +398,34 @@ class MultiViewPredictor:
         else:
             onehot_bg = np.zeros((self.n_classes,), np.float32)
             onehot_bg[0] = 1.0
+            nc = self.n_classes
+            groups = ([(0, nc)] if not ch_group else
+                      [(lo, min(lo + ch_group, nc))
+                       for lo in range(0, nc, ch_group)])
 
             @partial(jax.jit, static_argnames=("want_argmax",),
                      donate_argnums=(1,))
             def fn(pred, accum, w_v, want_argmax=False):
-                # bf16 probability passes, f32 validity division + fusion
-                # accumulation
-                mapped = shear_resample(pred, plan, onehot_bg,
-                                        method="linear",
-                                        compute_dtype=jnp.bfloat16,
-                                        out_dtype=jnp.float32,
-                                        exact_bounds=bounds,
-                                        impl=self._shear_impl())
+                # bf16 probability passes; f32 validity division and
+                # fusion accumulation (bf16 parts when channel-grouped)
+                if len(groups) == 1:
+                    mapped = shear_resample(pred, plan, onehot_bg,
+                                            method="linear",
+                                            compute_dtype=jnp.bfloat16,
+                                            out_dtype=jnp.float32,
+                                            exact_bounds=bounds,
+                                            impl=self._shear_impl())
+                else:
+                    parts = [
+                        shear_resample(pred[..., lo:hi], plan,
+                                       onehot_bg[lo:hi], method="linear",
+                                       compute_dtype=jnp.bfloat16,
+                                       out_dtype=jnp.bfloat16,
+                                       exact_bounds=bounds,
+                                       impl=self._shear_impl())
+                        for lo, hi in groups
+                    ]
+                    mapped = jnp.concatenate(parts, axis=-1)
                 side = None
                 if want_argmax:
                     side = jnp.argmax(mapped, axis=-1).astype(jnp.uint8)
@@ -480,17 +506,44 @@ class MultiViewPredictor:
             )
             r_stage = (_plan_stage_bytes(r_plan, self.n_classes)
                        if r_plan.valid else float("inf"))
+            r_bounds = r_Nc + ((self.dim, self.dim, n_valid),)
+            # Peak HBM of the shear remap = the larger of two moments,
+            # with the f32 accumulator (donated, so counted once) and the
+            # bf16 prediction stack live throughout:
+            #   mid pass:   in stage + out stage        (<= 2 * stage)
+            #   final pass: last stage + mapped volume  (mapped extracted
+            #               from the stage by a fused slice+cast+divide)
+            # Preference: all classes at once with an f32 mapped volume
+            # (exact); else CHANNEL-GROUPED bf16 (every stage shrinks
+            # with the group width — 512^3 x 7 classes runs at group 2);
+            # else the slab-scanned gather (correct but pinned at the
+            # per-point gather ceiling, 3.6 s/view at 512^3).
+            base = accum_bytes + pred_bytes
+            peak_f32 = max(2 * r_stage + base,
+                           r_stage + accum_bytes + base)
+            group = None
             if (r_stage > self._SHEAR_STAGE_BYTES_MAX
-                    or 2 * r_stage + 2 * accum_bytes + pred_bytes
-                    > self._SHEAR_REMAP_PEAK_BYTES_MAX):
-                remap_fn = self._gather_remap_fn(
-                    M, t, g0, g_step, o0, o_step, vol_shape, n_valid)
-            else:
+                    or peak_f32 > self._SHEAR_REMAP_PEAK_BYTES_MAX):
+                for g in range(self.n_classes - 1, 0, -1):
+                    r_g = (_plan_stage_bytes(r_plan, g)
+                           if r_plan.valid else float("inf"))
+                    # other groups' finished bf16 parts stay live
+                    peak_g = 2 * r_g + accum_bytes / 2 + base
+                    if (r_g <= self._SHEAR_STAGE_BYTES_MAX and
+                            peak_g <= self._SHEAR_REMAP_PEAK_BYTES_MAX):
+                        group = g
+                        break
+            if group is not None:
+                remap_fn = self._shear_fn("remap", r_plan, r_bounds,
+                                          ch_group=group)
+            elif (r_stage <= self._SHEAR_STAGE_BYTES_MAX
+                  and peak_f32 <= self._SHEAR_REMAP_PEAK_BYTES_MAX):
                 # Padded tail planes are out-of-bounds for the remap,
                 # exactly as the gather path's n_valid_planes treats them
-                remap_fn = self._shear_fn(
-                    "remap", r_plan,
-                    r_Nc + ((self.dim, self.dim, n_valid),))
+                remap_fn = self._shear_fn("remap", r_plan, r_bounds)
+            else:
+                remap_fn = self._gather_remap_fn(
+                    M, t, g0, g_step, o0, o_step, vol_shape, n_valid)
             fns.append((stack_fn, remap_fn))
         return fns
 

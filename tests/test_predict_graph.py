@@ -345,6 +345,51 @@ def test_sharded_shear_predict_matches_sequential(label_image):
     np.testing.assert_array_equal(fb, np.asarray(fa))
 
 
+def test_channel_grouped_remap_matches_ungrouped(label_image):
+    """The channel-grouped bf16 shear remap (the 512^3 HBM-fit mode) stays
+    within bf16 rounding of the all-channels f32 remap, argmax included."""
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.ops.shear import plan_view_remap
+
+    pair, lab = label_image
+    views = geometry.get_random_views(2, rng=np.random.RandomState(12))
+    pred = _predictor(resampler="shear")
+    sampler = pair.interpolator
+    offsets, n_valid = pred._prepare_offsets(pair, "same")
+    bases = [geometry.plane_basis(v, noise_sd=0.0) for v in views]
+    true_shape = tuple(int(s) for s in pair.shape[:3])
+    Mts = [pred._remap_transform(pair, b, true_shape) for b in bases]
+    g0, g_step, o0, o_step = pred._grid_params(offsets)
+    vol_shape = tuple(int(s) for s in sampler.padded_shape())
+
+    rng = np.random.RandomState(0)
+    P_pad = len(offsets)
+    stack = rng.rand(SIZE, SIZE, P_pad, N_CLASSES).astype(np.float32)
+    stack /= stack.sum(-1, keepdims=True)
+
+    for v in range(2):
+        M, t = Mts[v]
+        r_plan, r_Nc = plan_view_remap(
+            M, t, g0, g_step, o0, o_step, (pred.dim, pred.dim, P_pad),
+            vol_shape)
+        assert r_plan.valid
+        bounds = r_Nc + ((pred.dim, pred.dim, n_valid),)
+        base_fn = pred._shear_fn("remap", r_plan, bounds)
+        grp_fn = pred._shear_fn("remap", r_plan, bounds, ch_group=2)
+        w = jnp.ones((N_CLASSES,), jnp.float32)
+        a, sa = base_fn(jnp.asarray(stack),
+                        jnp.zeros(vol_shape + (N_CLASSES,), jnp.float32),
+                        w, want_argmax=True)
+        b, sb = grp_fn(jnp.asarray(stack),
+                       jnp.zeros(vol_shape + (N_CLASSES,), jnp.float32),
+                       w, want_argmax=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.02)
+        agree = (np.asarray(sa) == np.asarray(sb)).mean()
+        assert agree > 0.98, agree
+
+
 def _oracle_pair(tmp_path, affine, name):
     rng = np.random.RandomState(0)
     lab = np.zeros((SIZE, SIZE, SIZE), np.uint8)

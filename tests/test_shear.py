@@ -215,3 +215,31 @@ def test_pallas_pass_impl_matches_take(method):
                                   method=method, exact_bounds=(N, c),
                                   impl="pallas"))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_remap_bf16_output_close_to_f32():
+    """The bf16 remap mode (halved HBM peak; used when the f32 mapped
+    volume would bust the 512^3-class budget) stays within bf16 rounding
+    of the f32 result on softmax-like channel data."""
+    rng = np.random.RandomState(7)
+    src_shape, out_shape = (20, 24, 18), (22, 20, 21)
+    src = rng.rand(*src_shape, 4).astype(np.float32)
+    src /= src.sum(-1, keepdims=True)
+    fill = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    N = _random_affine(rng)
+    c = np.array([9.0, 11.0, 8.0]) - N @ (np.asarray(out_shape) / 2.0)
+    plan = plan_affine_resample(N, c, src_shape, out_shape)
+    assert plan.valid
+    f32 = np.asarray(shear_resample(
+        jnp.asarray(src), plan, fill, method="linear",
+        compute_dtype=jnp.bfloat16, out_dtype=jnp.float32,
+        exact_bounds=(N, c)))
+    bf16 = np.asarray(shear_resample(
+        jnp.asarray(src), plan, fill, method="linear",
+        compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
+        exact_bounds=(N, c))).astype(np.float32)
+    assert bf16.dtype == np.float32  # cast back for comparison
+    np.testing.assert_allclose(bf16, f32, atol=0.02)
+    # argmax (the fused class decision) flips only on near-ties
+    agree = (bf16.argmax(-1) == f32.argmax(-1)).mean()
+    assert agree > 0.98, agree
