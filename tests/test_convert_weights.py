@@ -123,3 +123,51 @@ def test_convert_autonamed_3d(tmp_path):
     name_of = {**dict(zip(conv_order, conv_names)),
                **dict(zip(bn_order, bn_names))}.__getitem__
     _roundtrip(tmp_path, model, variables, name_of)
+
+
+def test_export_convert_roundtrip_2d(tmp_path):
+    """npz -> `mp export_weights` h5 -> `mp convert_weights` npz preserves
+    every array bit-for-bit (TF-free half of the 'switch back' story; the
+    real-Keras load is tested in test_keras_parity)."""
+    from multiplanarunet_tpu.bin import export_weights
+
+    model = UNet(n_classes=3, dim=32, depth=3, init_filters=8,
+                 complexity_factor=2)
+    variables = init_model_variables(model, rng=jax.random.PRNGKey(1))
+    npz = tmp_path / "w.npz"
+    ckpt.save_weights(npz, variables["params"], variables["batch_stats"])
+    export_weights.entry_func(["--weights", str(npz),
+                               "--out", str(tmp_path / "w.h5")])
+    convert_weights.entry_func(["--h5", str(tmp_path / "w.h5"),
+                                "--out", str(tmp_path / "w2.npz")])
+    p2, bs2, _ = ckpt.load_weights(tmp_path / "w2.npz")
+    want_p = traverse_util.flatten_dict(variables["params"], sep="/")
+    got_p = traverse_util.flatten_dict(p2, sep="/")
+    assert set(want_p) == set(got_p)
+    for k in want_p:
+        np.testing.assert_array_equal(np.asarray(want_p[k]), got_p[k])
+    want_b = traverse_util.flatten_dict(variables["batch_stats"], sep="/")
+    got_b = traverse_util.flatten_dict(bs2, sep="/")
+    assert set(want_b) == set(got_b)
+    for k in want_b:
+        np.testing.assert_array_equal(np.asarray(want_b[k]), got_b[k])
+
+
+def test_export_convert_roundtrip_3d(tmp_path):
+    from multiplanarunet_tpu.bin import export_weights
+
+    model = UNet3D(n_classes=4, dim=16, depth=2, init_filters=8,
+                   complexity_factor=1)
+    variables = init_model_variables(model, rng=jax.random.PRNGKey(2))
+    npz = tmp_path / "w3.npz"
+    ckpt.save_weights(npz, variables["params"], variables["batch_stats"])
+    export_weights.entry_func(["--weights", str(npz),
+                               "--out", str(tmp_path / "w3.h5")])
+    convert_weights.entry_func(["--h5", str(tmp_path / "w3.h5"),
+                                "--out", str(tmp_path / "w32.npz")])
+    p2, bs2, _ = ckpt.load_weights(tmp_path / "w32.npz")
+    want = traverse_util.flatten_dict(variables["params"], sep="/")
+    got = traverse_util.flatten_dict(p2, sep="/")
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]), got[k])

@@ -88,7 +88,10 @@ def keras_env():
     def fresh_unet(name):
         """Re-import a reference model module so its class is pristine:
         legacy Keras's inject_functional_model_class MUTATES the model
-        class bases on first build, breaking a second construction."""
+        class bases on first build, breaking a second construction. Also
+        clear the Keras session so layer auto-name counters restart
+        (conv3d, conv3d_1, ... — the 3D model's save/load identity)."""
+        tf.keras.backend.clear_session()
         return importlib.reload(importlib.import_module(name))
 
     mods = types.SimpleNamespace(
@@ -177,6 +180,75 @@ def test_unet3d_logit_parity(keras_env, tmp_path):
     got = np.asarray(ours.apply({"params": params,
                                  "batch_stats": batch_stats},
                                 jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _random_variables(model, shape, seed):
+    """Init a flax model and randomize its BN statistics/affine so exports
+    cannot pass with swapped BN leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.models.unet import init_unet
+
+    params, bs = init_unet(model, jax.random.PRNGKey(seed), shape)
+    rng = np.random.RandomState(seed)
+    bs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            rng.uniform(0.5, 1.5, a.shape).astype(np.float32)), bs)
+    return params, bs
+
+
+def test_export_loads_into_real_keras_2d(keras_env, tmp_path):
+    """`mp export_weights` output loads into the ACTUAL reference Keras
+    UNet (by name) and reproduces our logits — the 'switch back'
+    direction of the conversion story."""
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.bin.export_weights import export_h5
+    from multiplanarunet_tpu.models.unet import UNet
+
+    ours = UNet(n_classes=3, dim=32, n_channels=2, depth=2,
+                complexity_factor=2)
+    params, bs = _random_variables(ours, (1, 32, 32, 2), seed=13)
+    h5 = tmp_path / "export2d.h5"
+    export_h5(params, bs, h5, logger=lambda *a: None)
+
+    ref = keras_env.fresh_unet("mpunet.models.unet").UNet(
+        n_classes=3, dim=32, n_channels=2, depth=2, complexity_factor=2)
+    ref.load_weights(str(h5), by_name=True)
+
+    x = np.random.RandomState(3).rand(2, 32, 32, 2).astype(np.float32)
+    want = np.asarray(ours.apply(
+        {"params": params, "batch_stats": bs}, jnp.asarray(x),
+        train=False))
+    got = ref.predict(x, verbose=0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_export_loads_into_real_keras_3d(keras_env, tmp_path):
+    """3D export: auto-named layers load topologically into the reference
+    UNet3D."""
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.bin.export_weights import export_h5
+    from multiplanarunet_tpu.models.unet3d import UNet3D
+
+    ours = UNet3D(n_classes=3, dim=16, n_channels=1, depth=2,
+                  complexity_factor=1)
+    params, bs = _random_variables(ours, (1, 16, 16, 16, 1), seed=17)
+    h5 = tmp_path / "export3d.h5"
+    export_h5(params, bs, h5, logger=lambda *a: None)
+
+    ref = keras_env.fresh_unet("mpunet.models.unet3D").UNet3D(
+        n_classes=3, dim=16, n_channels=1, depth=2, complexity_factor=1)
+    ref.load_weights(str(h5))  # topological: names are fresh-session autos
+
+    x = np.random.RandomState(4).rand(1, 16, 16, 16, 1).astype(np.float32)
+    want = np.asarray(ours.apply(
+        {"params": params, "batch_stats": bs}, jnp.asarray(x),
+        train=False))
+    got = ref.predict(x, verbose=0)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
