@@ -14,6 +14,8 @@ valid extent) consumed by `ops.interp.sample_plane_batch_pool`."""
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 
@@ -45,6 +47,7 @@ class DeviceVolumePool:
         self.valid_shapes = np.ones((self.capacity, 3), np.int32)
         self._slot_of = {}
         self._order = []  # LRU
+        self._lock = threading.Lock()
 
     @classmethod
     def shape_for(cls, images, bucket=32):
@@ -63,7 +66,14 @@ class DeviceVolumePool:
 
     def ensure(self, image):
         """Return the slot of `image`, staging it (with LRU eviction) if
-        absent. The image must be loaded."""
+        absent. The image must be loaded. Thread-safe: sampler prefetch
+        threads build independent batches concurrently (the staged jnp
+        arrays are functional — an in-flight batch keeps referencing the
+        array version it was built against even across evictions)."""
+        with self._lock:
+            return self._ensure_locked(image)
+
+    def _ensure_locked(self, image):
         key = image.identifier
         if key in self._slot_of:
             self._order.remove(key)
@@ -97,9 +107,10 @@ class DeviceVolumePool:
         return slot
 
     def release(self, identifier):
-        if identifier in self._slot_of:
-            del self._slot_of[identifier]
-            self._order.remove(identifier)
+        with self._lock:
+            if identifier in self._slot_of:
+                del self._slot_of[identifier]
+                self._order.remove(identifier)
 
     @property
     def volumes(self):

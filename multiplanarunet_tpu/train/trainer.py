@@ -57,6 +57,15 @@ class Trainer:
         # the global batch (shard_batch assembles the global jax.Array)
         self.n_processes = jax.process_count()
         self._n_local_devices = max(1, self.n_devices // self.n_processes)
+        # Sampler prefetch depth (see _fit). Kept at 1: the sequences
+        # pipeline their own candidate round-trips internally
+        # (multi_planar._getitem_pooled lookahead), and the remote-device
+        # transport does not tolerate concurrent transfers from several
+        # threads (measured INVALID_ARGUMENT under depth 3). The
+        # reference's workers=5 generator parallelism
+        # (`mpunet/train/trainer.py:246-257`) maps to this single
+        # dispatch pipeline on TPU.
+        self._prefetch_depth = 1
 
         self.tx = None
         self.loss_obj = None
@@ -259,19 +268,29 @@ class Trainer:
             for cb in cb_objs:
                 cb.on_epoch_begin(epoch, logs)
             accum = {}
-            # One-deep batch prefetch: sample batch i+1 on a worker thread
-            # while the device executes step i (host-side prep overlaps with
-            # device compute; jax dispatch is thread-safe)
+            # Pipelined batch sampling: several worker threads each build a
+            # future batch while the device executes the current step. The
+            # sampler's device kernels serialize with the train step on the
+            # chip anyway — the depth exists to OVERLAP the samplers' host
+            # round-trips (candidate presence fetches are latency-, not
+            # bandwidth-bound on remote transports), which a single worker
+            # serializes into the step wall. Batches are independent random
+            # draws; staging (DeviceVolumePool) is thread-safe.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=1) as prefetcher:
-                future = prefetcher.submit(train.__getitem__, 0)
+            depth = min(self._prefetch_depth, steps_per_epoch)
+            with ThreadPoolExecutor(max_workers=depth) as prefetcher:
+                futures = deque(
+                    prefetcher.submit(train.__getitem__, i)
+                    for i in range(depth)
+                )
                 for step in range(steps_per_epoch):
-                    X, y, w = future.result()
-                    if step + 1 < steps_per_epoch:
-                        future = prefetcher.submit(
-                            train.__getitem__, step + 1
-                        )
+                    X, y, w = futures.popleft().result()
+                    if step + depth < steps_per_epoch:
+                        futures.append(prefetcher.submit(
+                            train.__getitem__, step + depth
+                        ))
                     X, y, w = self._shard(X, y, w)
                     self.state, step_logs = self.train_step(
                         self.state, X, y, w
