@@ -6,7 +6,8 @@ pool (bin/predict.py). This probe times the same loop over a synthetic
 cohort of real nii.gz files twice — serial (load/stage inline) vs
 pipelined — and reports wall s/volume for both.
 
-Usage: python benchmarks/cohort_pipeline_probe.py [size] [n_images]
+Usage: python benchmarks/cohort_pipeline_probe.py [size] [n_images] [stage]
+where stage is bf16 (default) or u8 (quantized H2D staging).
 """
 import sys
 import tempfile
@@ -33,6 +34,7 @@ def main():
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    stage_dtype = sys.argv[3] if len(sys.argv) > 3 else "bf16"
     n_classes, n_channels, n_views = 7, 1, 6
 
     tmp = Path(tempfile.mkdtemp(prefix="cohort_probe_"))
@@ -63,7 +65,8 @@ def main():
     }}
     predictor = MultiViewPredictor(
         model, variables, sample_dim=size, real_space_span=float(size - 1),
-        n_classes=n_classes)
+        n_classes=n_classes, stage_dtype=stage_dtype)
+    print(f"stage_dtype={stage_dtype}")
     predictor.mesh = None
 
     def predict_one(image):
@@ -156,17 +159,56 @@ def main():
         out_pool.shutdown(wait=False)
         return dt
 
+    def run_pipelined_combined():
+        """3-stage overlap on a SINGLE IO thread: fetch of image i-1's
+        result THEN staging of image i+1 run back-to-back on one worker
+        while the device computes image i — same overlap as pipelined-3
+        but with no two host threads ever transferring concurrently (the
+        remote transport serializes, and can error, on concurrent
+        transfers)."""
+        loader = build_loader()
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def _io(prev_img, prev_fetch, idx):
+            if prev_fetch is not None:
+                fused = prev_fetch()
+                assert fused.shape[:3] == (size, size, size)
+                prev_img.unload()
+            if idx < n_images:
+                img = loader.get_by_id(f"img_{idx}")
+                img.load()
+                predictor.prestage(img, views)
+                return img
+            return None
+
+        t0 = time.time()
+        nxt = pool.submit(_io, None, None, 0)
+        for i in range(n_images):
+            img = nxt.result()
+            fetch, _ = predictor.predict_image(
+                img, views, fusion_params=fusion_params,
+                n_planes="same+20", return_per_view=False,
+                defer_fetch=True)
+            nxt = pool.submit(_io, img, fetch, i + 1)
+        nxt.result()
+        dt = time.time() - t0
+        pool.shutdown(wait=False)
+        return dt
+
     # Interleave to cancel drift; report best of 2 each
-    serial, piped, piped3 = [], [], []
+    serial, piped, piped3, pipedc = [], [], [], []
     for _ in range(2):
         serial.append(run_serial())
         piped.append(run_pipelined())
         piped3.append(run_pipelined3())
-    s, p, p3 = min(serial), min(piped), min(piped3)
+        pipedc.append(run_pipelined_combined())
+    s, p, p3, pc = min(serial), min(piped), min(piped3), min(pipedc)
     print(f"serial:       {s:.2f} s cohort  ({s / n_images:.2f} s/volume)")
     print(f"pipelined:    {p:.2f} s cohort  ({p / n_images:.2f} s/volume)")
     print(f"pipelined-3:  {p3:.2f} s cohort  ({p3 / n_images:.2f} s/volume)")
-    print(f"speedup:      {s / p:.2f}x (2-stage)  {s / p3:.2f}x (3-stage)")
+    print(f"combined-3:   {pc:.2f} s cohort  ({pc / n_images:.2f} s/volume)")
+    print(f"speedup:      {s / p:.2f}x (2-stage)  {s / p3:.2f}x (3-stage)  "
+          f"{s / pc:.2f}x (combined)")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,12 @@ def get_argparser():
     parser.add_argument("--n_planes", type=str, default="same+20",
                         help="Planes per view: 'same', 'same+N', "
                              "'by_radius' or an integer")
+    parser.add_argument("--stage_dtype", type=str, default="bf16",
+                        choices=("bf16", "u8"),
+                        help="Host->device volume staging: 'u8' ships "
+                             "per-channel affine uint8 codes (half the bf16 "
+                             "transfer, dequantized on device; max intensity "
+                             "error = channel range/510)")
     return parser
 
 
@@ -317,6 +323,7 @@ def entry_func(args=None):
         real_space_span=hparams["fit"]["real_space_span"],
         n_classes=hparams["build"]["n_classes"],
         logger=logger, resampler=args.resampler,
+        stage_dtype=args.stage_dtype,
     )
     import jax
 

@@ -144,7 +144,8 @@ class MultiViewPredictor:
     _SHEAR_FN_CACHE_MAX = 64
 
     def __init__(self, model, variables, sample_dim, real_space_span,
-                 n_classes, chunk=None, logger=None, resampler="auto"):
+                 n_classes, chunk=None, logger=None, resampler="auto",
+                 stage_dtype="bf16"):
         self.model = model
         self.variables = variables
         self.dim = int(sample_dim)
@@ -177,6 +178,15 @@ class MultiViewPredictor:
                 f"got {resampler!r}"
             )
         self.resampler = resampler
+        if stage_dtype not in ("bf16", "u8"):
+            raise ValueError(
+                f"stage_dtype must be 'bf16' or 'u8'; got {stage_dtype!r}"
+            )
+        # 'u8' ships volumes as per-channel affine uint8 codes (half the
+        # bf16 transfer — the remote H2D tunnel gates cohort pipelining)
+        # and dequantizes to bf16 on device; max abs intensity error is
+        # (channel range)/510.
+        self.stage_dtype = stage_dtype
         self._chunk_cache = {}  # P_pad -> scan chunk
         self._seen_buckets = set()  # (padded shape, P) combos seen
         self._view_fn = None    # per-view gather graph (argmax side output)
@@ -547,10 +557,18 @@ class MultiViewPredictor:
             fns.append((stack_fn, remap_fn))
         return fns
 
+    def _stage_unpacked(self, sampler):
+        return sampler.device_volume_unpacked(
+            quantize=self.stage_dtype == "u8")
+
+    def _stage_packed(self, sampler):
+        return sampler.device_volume_packed(
+            quantize=self.stage_dtype == "u8")
+
     def _run_shear(self, image, views, shear_fns, W, return_per_view,
                    true_shape):
         sampler = image.interpolator
-        volume = sampler.device_volume_unpacked()
+        volume = self._stage_unpacked(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])
         if self._unet_fn is None:
             self._unet_fn = self._build_unet_stack()
@@ -661,7 +679,13 @@ class MultiViewPredictor:
     def _deferred_class_fetch(out, true_shape, pack, defer):
         """Fetch (or defer-fetch) a device-side result: `out` is either a
         nibble-packed full-bucket class map (pack=True) or an already
-        cropped array."""
+        cropped array.
+
+        (An X-slab-chunked fetch — 8 smaller D2H messages to let dispatch
+        RPCs interleave — was measured on the axon transport and did NOT
+        beat the single transfer: per-message round-trips cost more than
+        the interleaving saves, and run-to-run tunnel bandwidth variance
+        dominates both. Single transfer kept.)"""
         if pack:
             fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
         else:
@@ -675,10 +699,10 @@ class MultiViewPredictor:
         sampler = image.interpolator
         if getattr(self, "mesh", None) is not None:
             # predict_image_sharded consumes the corner-packed volume
-            sampler.device_volume_packed()
+            self._stage_packed(sampler)
             return
         if self.resampler == "shear":
-            sampler.device_volume_unpacked()
+            self._stage_unpacked(sampler)
             return
         if self.resampler == "auto" and views is not None:
             true_shape = tuple(int(s) for s in image.shape[:3])
@@ -688,9 +712,9 @@ class MultiViewPredictor:
                    for b in bases]
             if self._plan_shear_views(image, bases, Mts, offsets,
                                       n_valid) is not None:
-                sampler.device_volume_unpacked()
+                self._stage_unpacked(sampler)
                 return
-        sampler.device_volume_packed()
+        self._stage_packed(sampler)
 
     def predict_image(self, image, views, fusion_params=None,
                       n_planes="same+20", return_per_view=True,
@@ -742,7 +766,7 @@ class MultiViewPredictor:
                                     return_probs, true_shape,
                                     defer=defer_fetch), per_view)
 
-        volume = sampler.device_volume_packed()
+        volume = self._stage_packed(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])  # padded bucket
         common = (self.variables, volume,
                   jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
@@ -833,7 +857,7 @@ class MultiViewPredictor:
         n_use = min(len(devices), len(views))
         W, b = self._fusion_Wb(fusion_params, len(views))
 
-        volume = sampler.device_volume_unpacked()
+        volume = self._stage_unpacked(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])
         if self._unet_fn is None:
             self._unet_fn = self._build_unet_stack()
@@ -918,7 +942,7 @@ class MultiViewPredictor:
 
         n_dev = int(mesh.devices.size)
         sampler = image.interpolator
-        volume = sampler.device_volume_packed()
+        volume = self._stage_packed(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])
         true_shape = tuple(int(s) for s in image.shape[:3])
 
@@ -1023,7 +1047,7 @@ class MultiViewPredictor:
         if self._view_fn is None:
             self._view_fn = self._build()
         sampler = image.interpolator
-        volume = sampler.device_volume_packed()
+        volume = self._stage_packed(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])
         true_shape = tuple(int(s) for s in image.shape[:3])
         offsets, n_valid = self._prepare_offsets(image, n_planes)

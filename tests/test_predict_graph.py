@@ -199,6 +199,59 @@ def test_auto_resampler_uses_shear_and_prestage(label_image):
         sampler.unload_device()
 
 
+def test_u8_staging_quantization_bound(label_image):
+    """uint8 H2D staging: the on-device dequantized volume must match the
+    f32 scaled volume within the documented bound (channel range / 510 +
+    bf16 rounding), including the bucket-padded margin."""
+    pair, _ = label_image
+    sampler = pair.interpolator
+    sampler.unload_device()
+    try:
+        vol_q = np.asarray(
+            sampler.device_volume_unpacked(quantize=True), np.float32)
+        ref = sampler._bucket_pad(sampler.scaled_volume, 32)
+        rng_c = ref.max(axis=(0, 1, 2)) - ref.min(axis=(0, 1, 2))
+        bound = rng_c / 510.0 + 0.01 * np.abs(ref).max() + 1e-6
+        assert np.abs(vol_q - ref).max() <= bound.max()
+        assert vol_q.shape == ref.shape
+    finally:
+        sampler.unload_device()
+
+
+@pytest.mark.parametrize("resampler", ["gather", "shear"])
+def test_u8_staging_predict_parity(label_image, resampler):
+    """stage_dtype='u8' must reproduce the bf16-staged fused prediction
+    almost exactly on both resampler paths (intensity error ~range/510 can
+    only flip argmax at structure boundaries)."""
+    pair, lab = label_image
+    views = geometry.get_random_views(2, rng=np.random.RandomState(21))
+    pred_b = _predictor(resampler)
+    fused_b, _ = pred_b.predict_image(pair, views, n_planes="same+4",
+                                      return_per_view=False)
+    sampler = pair.interpolator
+    sampler.unload_device()
+    try:
+        model = OneHotOracle()
+        pred_u = MultiViewPredictor(
+            model, {"params": {}}, sample_dim=SIZE,
+            real_space_span=float(SIZE - 2), n_classes=N_CLASSES, chunk=4,
+            resampler=resampler, stage_dtype="u8",
+        )
+        pred_u.prestage(pair, views, n_planes="same+4")
+        staged = (sampler._device_volume_unpacked
+                  if resampler == "shear"
+                  else sampler._device_volume_packed)
+        assert staged is not None
+        fused_u, _ = pred_u.predict_image(pair, views, n_planes="same+4",
+                                          return_per_view=False)
+        assert (fused_b == fused_u).mean() > 0.995
+        interior = np.zeros_like(lab, bool)
+        interior[2:-2, 2:-2, 2:-2] = True
+        assert (fused_u == lab)[interior].mean() > 0.95
+    finally:
+        sampler.unload_device()
+
+
 def test_predict_views_mapped_stack(label_image):
     pair, lab = label_image
     views = geometry.get_random_views(2, rng=np.random.RandomState(2))
