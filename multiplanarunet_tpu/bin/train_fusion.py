@@ -36,6 +36,12 @@ def get_argparser():
     parser.add_argument("--dice_weight", type=str, default="Simple",
                         help="GDL weight type: Simple/Square/Uniform")
     parser.add_argument("--n_planes", type=str, default="same+20")
+    parser.add_argument("--max_points_per_image", type=int, default=2 ** 22,
+                        help="Train the fusion layer on at most this many "
+                             "uniformly-sampled voxels per image (0 = all; "
+                             "the layer has only (V+1)*C parameters, so a "
+                             "few million points match training on every "
+                             "voxel while bounding device memory)")
     parser.add_argument("--continue_training", action="store_true",
                         help="Resume fusion training from saved fusion "
                              "weights")
@@ -46,13 +52,20 @@ def get_argparser():
 
 def _fit_fusion(points, targets, n_views, n_classes, args, logger,
                 init_params=None):
-    """Fit the fusion layer on stacked voxel points with early stopping."""
+    """Fit the fusion layer on stacked voxel points with early stopping.
+
+    Device-resident: `points`/`targets` may be (and from
+    `predict_views_points` are) jax device arrays; they are split, shuffled,
+    batched and evaluated ON DEVICE — one `lax.scan` dispatch per training
+    epoch and one (3, n_classes) confusion-count fetch per validation pass.
+    The reference re-feeds every 2^17-voxel batch through Keras `fit` from
+    host memory each epoch (`mpunet/bin/train_fusion.py:211-216`), which on
+    a remote-transport TPU costs more in H2D than the optimizer math."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from multiplanarunet_tpu.evaluate.losses import SparseGeneralizedDiceLoss
-    from multiplanarunet_tpu.evaluate.metrics import dice_all
     from multiplanarunet_tpu.models import FusionModel
     from multiplanarunet_tpu.models.fusion_model import FusionLayer
 
@@ -62,15 +75,22 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
     opt_state = tx.init(params)
     loss_obj = SparseGeneralizedDiceLoss(type_weight=args.dice_weight)
 
-    # Shuffle + 20% validation split
-    n = len(points)
+    # Shuffle + 20% validation split (host permutation, device gather)
+    points = jnp.asarray(points, jnp.float32)
+    targets = jnp.asarray(targets).astype(jnp.int32)
+    n = int(points.shape[0])
     perm = np.random.permutation(n)
     n_val = max(1, int(0.2 * n))
-    val_idx, tr_idx = perm[:n_val], perm[n_val:]
-    Xtr, ytr = points[tr_idx], targets[tr_idx]
-    Xval, yval = points[val_idx], targets[val_idx]
+    Xtr = points[jnp.asarray(perm[n_val:])]
+    ytr = targets[jnp.asarray(perm[n_val:])]
+    Xval = points[jnp.asarray(perm[:n_val])]
+    yval = targets[jnp.asarray(perm[:n_val])]
+    del points, targets
 
-    @jax.jit
+    n_tr = int(Xtr.shape[0])
+    bs = min(args.batch_size, n_tr)
+    n_batches = max(n_tr // bs, 1)
+
     def step(params, opt_state, x, y):
         def loss_fn(p):
             out = fm.apply({"params": p}, x)
@@ -83,32 +103,42 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def predict(params, x):
-        return fm.apply({"params": params}, x)
+    def epoch_fn(params, opt_state, key):
+        idx = jax.random.permutation(key, n_tr)
+        idx = idx[: n_batches * bs].reshape(n_batches, bs)
 
-    bs = args.batch_size
+        def body(carry, bidx):
+            params, opt_state = carry
+            params, opt_state, loss = step(params, opt_state,
+                                           Xtr[bidx], ytr[bidx])
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), idx)
+        return params, opt_state, jnp.mean(losses)
+
+    @jax.jit
+    def val_counts(params):
+        pred = jnp.argmax(fm.apply({"params": params}, Xval), -1)
+        tp = jnp.bincount(jnp.where(pred == yval, yval, n_classes),
+                          length=n_classes + 1)[:n_classes]
+        rel = jnp.bincount(yval, length=n_classes)
+        sel = jnp.bincount(pred, length=n_classes)
+        return jnp.stack([tp, rel, sel])
+
+    key = jax.random.PRNGKey(np.random.randint(2 ** 31))
     best_dice, best_params, wait = -1.0, params, 0
     for epoch in range(args.epochs):
-        order = np.random.permutation(len(Xtr))
-        losses = []
-        for i in range(0, len(Xtr) - bs + 1 or 1, bs):
-            idx = order[i:i + bs]
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(Xtr[idx]),
-                jnp.asarray(ytr[idx]),
-            )
-            losses.append(float(loss))
-        preds = []
-        for i in range(0, len(Xval), bs):
-            preds.append(np.argmax(
-                np.asarray(predict(params, jnp.asarray(Xval[i:i + bs]))), -1
-            ))
-        val_dice = float(np.nanmean(dice_all(
-            yval, np.concatenate(preds), n_classes=n_classes,
-            ignore_zero=True,
-        )))
+        key, ekey = jax.random.split(key)
+        params, opt_state, mean_loss = epoch_fn(params, opt_state, ekey)
+        tp, rel, sel = np.asarray(val_counts(params), np.float64)
+        # dice_all semantics: NaN for absent classes, fg-only mean
+        denom = rel + sel
+        with np.errstate(invalid="ignore"):
+            dice = np.where(denom > 0, 2.0 * tp / denom, np.nan)
+        val_dice = float(np.nanmean(dice[1:] if n_classes > 1 else dice))
         logger(f"  epoch {epoch + 1}/{args.epochs}: "
-               f"loss={np.mean(losses):.5f} val_dice={val_dice:.5f}")
+               f"loss={float(mean_loss):.5f} val_dice={val_dice:.5f}")
         if val_dice > best_dice:
             best_dice, best_params, wait = val_dice, params, 0
         else:
@@ -117,7 +147,7 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
                 logger("  early stopping.")
                 break
     logger(f"  best fusion val_dice: {best_dice:.5f}")
-    return best_params
+    return jax.device_get(best_params)
 
 
 def entry_func(args=None):
@@ -134,11 +164,7 @@ def entry_func(args=None):
     from multiplanarunet_tpu.logging import Logger
     from multiplanarunet_tpu.models import checkpoint as ckpt
     from multiplanarunet_tpu.models import model_initializer
-    from multiplanarunet_tpu.utils.fusion import (
-        MultiViewPredictor,
-        predict_and_map,
-        stack_collections,
-    )
+    from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
     from multiplanarunet_tpu.utils.utils import get_best_model
 
     logger = Logger(project_dir, active_file="train_fusion",
@@ -196,6 +222,9 @@ def entry_func(args=None):
     if args.continue_training and fusion_out.exists():
         fusion_params, _, _ = ckpt.load_weights(fusion_out)
         logger(f"Resuming fusion training from {fusion_out}")
+    import jax
+    import jax.numpy as jnp
+
     n_rounds = -(-len(images) // args.images_per_round)
     for rnd in range(n_rounds):
         batch = images[rnd * args.images_per_round:
@@ -203,15 +232,20 @@ def entry_func(args=None):
         logger(f"\n=== Fusion round {rnd + 1}/{n_rounds} "
                f"({len(batch)} images) ===")
         points_coll, targets_coll = [], []
-        for image in batch:
+        for i, image in enumerate(batch):
             with image.loaded_in_context():
                 logger(f"Mapping views over {image.identifier}...")
-                pts, tgt = predict_and_map(predictor, image, views,
-                                           n_planes=args.n_planes)
+                pts, tgt = predictor.predict_views_points(
+                    image, views, n_planes=args.n_planes,
+                    max_points=args.max_points_per_image or None,
+                    key=jax.random.PRNGKey(rnd * 1000 + i),
+                )
                 points_coll.append(pts)
                 targets_coll.append(tgt)
-        X, y = stack_collections(points_coll, targets_coll)
-        logger(f"Training fusion on {len(X)} voxel points")
+        X = jnp.concatenate(points_coll, axis=0)
+        y = jnp.concatenate(targets_coll, axis=0)
+        del points_coll, targets_coll
+        logger(f"Training fusion on {len(X)} voxel points (device-resident)")
         fusion_params = _fit_fusion(X, y, n_views, n_classes, args, logger,
                                     init_params=fusion_params)
         ckpt.save_weights(fusion_out, fusion_params,

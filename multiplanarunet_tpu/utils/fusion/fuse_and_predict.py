@@ -690,6 +690,16 @@ class MultiViewPredictor:
             fetch = lambda: _unpack_class_map(out, true_shape)  # noqa: E731
         else:
             fetch = lambda: np.asarray(out)  # noqa: E731
+        if defer:
+            # Start the D2H copy now (enqueued behind the just-dispatched
+            # compute) so the transfer rides the wire while the caller
+            # dispatches the next image's graphs; the later np.asarray then
+            # finds the host buffer ready. No-op on backends without async
+            # host copies.
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
         return fetch if defer else fetch()
 
     def prestage(self, image, views=None, n_planes="same+20"):
@@ -1071,6 +1081,72 @@ class MultiViewPredictor:
                 mapped[: true_shape[0], : true_shape[1], : true_shape[2]]
             )
         return out
+
+    def predict_views_points(self, image, views, n_planes="same+20",
+                             max_points=None, key=None):
+        """Device-resident fusion-training points for one labelled image.
+
+        Same exact gather path as `predict_views_mapped`, but nothing
+        volume-sized ever crosses the host<->device link: each view's
+        mapped probability volume is cropped and flattened ON DEVICE, the
+        labels are staged once as uint8 (n_vox bytes, the only H2D
+        payload), and the stacked (n_pts, n_views, n_classes) float32
+        points plus int32 targets are returned as device arrays for
+        `_fit_fusion` to consume in place. The reference round-trips the
+        full float32 probability volumes per view
+        (`mpunet/bin/train_fusion.py:148-176`) — ~n_views * n_vox * C * 4
+        bytes per image, which dominates wall-clock on slow transports.
+
+        max_points: if set and the image has more voxels, train on a
+        uniform random subset (device-side permutation under `key`); the
+        fusion layer has only (V+1)*C parameters, so a few million points
+        are statistically equivalent to all of them."""
+        if self._view_fn is None:
+            self._view_fn = self._build()
+        sampler = image.interpolator
+        volume = self._stage_packed(sampler)
+        out_shape = tuple(int(s) for s in volume.shape[:3])
+        true_shape = tuple(int(s) for s in image.shape[:3])
+        offsets, n_valid = self._prepare_offsets(image, n_planes)
+        n_vox = int(np.prod(true_shape))
+        idx = None
+        if max_points and n_vox > int(max_points):
+            key = key if key is not None else jax.random.PRNGKey(0)
+            idx = jax.random.permutation(key, n_vox)[: int(max_points)]
+        labels = np.asarray(image.labels).reshape(-1)
+        tgt_dtype = np.uint8 if self.n_classes <= 256 else np.int32
+        targets = jnp.asarray(labels.astype(tgt_dtype))
+        if idx is not None:
+            targets = targets[idx]
+        # Async dispatch allocates every queued view program's outputs
+        # eagerly (see _run_shear); drain per view on large volumes.
+        big = float(n_vox) * self.n_classes * 4 > 1.5e9
+        per_view = []
+        for view in views:
+            basis = geometry.plane_basis(view, noise_sd=0.0)
+            M, t = self._remap_transform(image, basis, true_shape)
+            accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+            _, mapped = self._view_fn(
+                self.variables, volume,
+                jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+                sampler.device_rot(), jnp.asarray(sampler.valid_shape),
+                jnp.asarray(basis), jnp.asarray(offsets),
+                jnp.asarray(sampler.scaled_bg_value),
+                jnp.ones((self.n_classes,), jnp.float32), accum,
+                jnp.asarray(M), jnp.asarray(t),
+                out_shape, n_valid, return_probs=True,
+            )
+            flat = mapped[: true_shape[0], : true_shape[1],
+                          : true_shape[2]].reshape(-1, self.n_classes)
+            if idx is not None:
+                flat = flat[idx]
+            del mapped
+            per_view.append(flat)
+            if big:
+                np.asarray(flat[:1, :1])  # real sync (remote transport's
+                # block_until_ready can return early)
+        points = jnp.stack(per_view, axis=1)  # (n_pts, V, C)
+        return points, targets.astype(jnp.int32)
 
     def _plane_offsets(self, image, n_planes):
         sample_res = self.span / (self.dim - 1)

@@ -239,3 +239,36 @@ def test_confusion_based_means_match_sklearn():
     got_r = float(M.sparse_mean_fg_recall(jnp.asarray(y_true),
                                           jnp.asarray(probs)))
     np.testing.assert_allclose(got_r, want_r, rtol=1e-5)
+
+
+def test_fit_fusion_device_resident_learns_informative_view():
+    """_fit_fusion runs fully on device (scan epochs, confusion-count val)
+    and learns to upweight the informative view. Parity surface:
+    `mpunet/bin/train_fusion.py:200-216` (host-fed Keras fit)."""
+    from types import SimpleNamespace
+
+    from multiplanarunet_tpu.bin.train_fusion import _fit_fusion
+
+    rng = np.random.RandomState(0)
+    n, V, C = 6000, 3, 4
+    y = rng.randint(0, C, size=n)
+    onehot = np.eye(C, dtype=np.float32)[y]
+    # view 0: sharp correct probs; views 1-2: uniform noise
+    pts = rng.dirichlet(np.ones(C), size=(n, V)).astype(np.float32)
+    pts[:, 0] = 0.9 * onehot + 0.025
+    args = SimpleNamespace(batch_size=1024, epochs=8, early_stopping=8,
+                           learning_rate=5e-2, dice_weight="Simple")
+    logs = []
+    params = _fit_fusion(jnp.asarray(pts), jnp.asarray(y), V, C, args,
+                         logger=logs.append)
+    W = np.asarray(params["fusion"]["W"])
+    assert isinstance(W, np.ndarray)  # host tree for npz checkpointing
+    # informative view dominates the noise views for every class
+    assert (W[0] > W[1:].max(0)).all(), W
+    assert any("val_dice" in s for s in logs)
+    # the final val dice should be near-perfect given view 0
+    import re
+
+    dices = [float(m.group(1)) for s in logs
+             for m in [re.search(r"val_dice=([0-9.]+)", s)] if m]
+    assert dices and max(dices) > 0.95, dices
