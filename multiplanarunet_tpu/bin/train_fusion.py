@@ -102,8 +102,12 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # Data splits are passed as jit ARGUMENTS: closure-captured device
+    # arrays embed as program constants and the serialized HLO then
+    # exceeds remote-compile transport limits (measured HTTP 413 at 7.8M
+    # points) besides duplicating the data inside the executable.
     @jax.jit
-    def epoch_fn(params, opt_state, key):
+    def epoch_fn(params, opt_state, key, Xtr, ytr):
         idx = jax.random.permutation(key, n_tr)
         idx = idx[: n_batches * bs].reshape(n_batches, bs)
 
@@ -118,7 +122,7 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def val_counts(params):
+    def val_counts(params, Xval, yval):
         pred = jnp.argmax(fm.apply({"params": params}, Xval), -1)
         tp = jnp.bincount(jnp.where(pred == yval, yval, n_classes),
                           length=n_classes + 1)[:n_classes]
@@ -130,8 +134,9 @@ def _fit_fusion(points, targets, n_views, n_classes, args, logger,
     best_dice, best_params, wait = -1.0, params, 0
     for epoch in range(args.epochs):
         key, ekey = jax.random.split(key)
-        params, opt_state, mean_loss = epoch_fn(params, opt_state, ekey)
-        tp, rel, sel = np.asarray(val_counts(params), np.float64)
+        params, opt_state, mean_loss = epoch_fn(params, opt_state, ekey,
+                                                Xtr, ytr)
+        tp, rel, sel = np.asarray(val_counts(params, Xval, yval), np.float64)
         # dice_all semantics: NaN for absent classes, fg-only mean
         denom = rel + sel
         with np.errstate(invalid="ignore"):
