@@ -13,6 +13,7 @@ vs_baseline is measured volumes/min over the 6 volumes/min implied by the
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -86,6 +87,9 @@ def main():
     predictor = MultiViewPredictor(
         model, variables, sample_dim=size, real_space_span=float(size - 1),
         n_classes=n_classes, chunk=chunk,
+        # A/B knob: MP_BENCH_NO_FUSE=1 dispatches per-view programs
+        # instead of the fused multi-view graph (same-window comparisons)
+        fuse_views=not os.environ.get("MP_BENCH_NO_FUSE"),
     )
 
     def run_once():

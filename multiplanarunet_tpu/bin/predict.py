@@ -70,6 +70,11 @@ def get_argparser():
                              "per-channel affine uint8 codes (half the bf16 "
                              "transfer, dequantized on device; max intensity "
                              "error = channel range/510)")
+    parser.add_argument("--no_fuse_views", action="store_true",
+                        help="Dispatch each view's programs separately "
+                             "instead of the fused multi-view graph (the "
+                             "default below the big-volume HBM threshold); "
+                             "debugging/benchmark knob")
     return parser
 
 
@@ -324,6 +329,7 @@ def entry_func(args=None):
         n_classes=hparams["build"]["n_classes"],
         logger=logger, resampler=args.resampler,
         stage_dtype=args.stage_dtype,
+        fuse_views=not args.no_fuse_views,
     )
     import jax
 

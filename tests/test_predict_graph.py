@@ -178,6 +178,45 @@ def test_shear_resampler_matches_gather(label_image):
     assert (fused_s == lab)[interior].mean() > 0.95
 
 
+def test_fused_multi_view_graph_matches_per_view(label_image):
+    """The fused multi-view shear megagraph (fuse_views=True, the default
+    below the big-volume threshold) must produce the same fused argmax and
+    per-view maps as the per-view dispatch loop — same ops, one program."""
+    pair, _ = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(21))
+    fusion_params = {
+        "fusion": {
+            "W": np.linspace(0.8, 1.2, 3 * N_CLASSES).reshape(
+                3, N_CLASSES).astype(np.float32),
+            "b": np.zeros((1, N_CLASSES), np.float32),
+        }
+    }
+    model = OneHotOracle()
+    pred_f = MultiViewPredictor(
+        model, {"params": {}}, sample_dim=SIZE,
+        real_space_span=float(SIZE - 2), n_classes=N_CLASSES, chunk=4,
+        resampler="shear", fuse_views=True)
+    pred_l = MultiViewPredictor(
+        model, {"params": {}}, sample_dim=SIZE,
+        real_space_span=float(SIZE - 2), n_classes=N_CLASSES, chunk=4,
+        resampler="shear", fuse_views=False)
+
+    fused_f, pv_f = pred_f.predict_image(pair, views,
+                                         fusion_params=fusion_params,
+                                         n_planes="same+4")
+    fused_l, pv_l = pred_l.predict_image(pair, views,
+                                         fusion_params=fusion_params,
+                                         n_planes="same+4")
+    # a mega entry was cached and used
+    assert any(k[0] == "mega" for k in pred_f._shear_fns)
+    assert not any(k[0] == "mega" for k in pred_l._shear_fns)
+    # identical op sequence -> near-bit-identical results (XLA may fuse
+    # bf16 intermediates differently across program boundaries)
+    assert (fused_f == fused_l).mean() > 0.999
+    for a, b in zip(pv_f, pv_l):
+        assert (a == b).mean() > 0.999
+
+
 def test_auto_resampler_uses_shear_and_prestage(label_image):
     """'auto' must resolve to shear for a well-conditioned geometry, and
     prestage() must stage the unpacked volume it will consume."""
