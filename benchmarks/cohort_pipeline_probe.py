@@ -7,7 +7,12 @@ cohort of real nii.gz files twice — serial (load/stage inline) vs
 pipelined — and reports wall s/volume for both.
 
 Usage: python benchmarks/cohort_pipeline_probe.py [size] [n_images] [stage]
-where stage is bf16 (default) or u8 (quantized H2D staging).
+                                                  [modes]
+where stage is bf16 (default) or u8 (quantized H2D staging) and modes is
+a comma-separated subset of serial,pipelined,pipelined3,combined
+(default all) — trimming modes shortens a run's exposure to the remote
+transport's bad windows (a wedged transfer RPC can stall a mode for tens
+of minutes).
 """
 import sys
 import tempfile
@@ -35,6 +40,8 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     stage_dtype = sys.argv[3] if len(sys.argv) > 3 else "bf16"
+    modes = (set(sys.argv[4].split(",")) if len(sys.argv) > 4
+             else {"serial", "pipelined", "pipelined3", "combined"})
     n_classes, n_channels, n_views = 7, 1, 6
 
     tmp = Path(tempfile.mkdtemp(prefix="cohort_probe_"))
@@ -196,19 +203,24 @@ def main():
         return dt
 
     # Interleave to cancel drift; report best of 2 each
-    serial, piped, piped3, pipedc = [], [], [], []
+    runners = {"serial": run_serial, "pipelined": run_pipelined,
+               "pipelined3": run_pipelined3,
+               "combined": run_pipelined_combined}
+    times = {m: [] for m in runners if m in modes}
     for _ in range(2):
-        serial.append(run_serial())
-        piped.append(run_pipelined())
-        piped3.append(run_pipelined3())
-        pipedc.append(run_pipelined_combined())
-    s, p, p3, pc = min(serial), min(piped), min(piped3), min(pipedc)
-    print(f"serial:       {s:.2f} s cohort  ({s / n_images:.2f} s/volume)")
-    print(f"pipelined:    {p:.2f} s cohort  ({p / n_images:.2f} s/volume)")
-    print(f"pipelined-3:  {p3:.2f} s cohort  ({p3 / n_images:.2f} s/volume)")
-    print(f"combined-3:   {pc:.2f} s cohort  ({pc / n_images:.2f} s/volume)")
-    print(f"speedup:      {s / p:.2f}x (2-stage)  {s / p3:.2f}x (3-stage)  "
-          f"{s / pc:.2f}x (combined)")
+        for m, fn in runners.items():
+            if m in modes:
+                times[m].append(fn())
+                print(f"  [{m}] {times[m][-1]:.2f} s cohort", flush=True)
+    best = {m: min(v) for m, v in times.items()}
+    for m, t in best.items():
+        print(f"{m + ':':<13} {t:.2f} s cohort  "
+              f"({t / n_images:.2f} s/volume)")
+    s = best.get("serial")
+    if s:
+        print("speedup:      " + "  ".join(
+            f"{s / t:.2f}x ({m})" for m, t in best.items()
+            if m != "serial"))
 
 
 if __name__ == "__main__":
