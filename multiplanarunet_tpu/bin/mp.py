@@ -32,9 +32,22 @@ def get_parser():
 
 
 def entry_func(args=None):
+    import os
+
     from multiplanarunet_tpu.utils.compilation_cache import (
         enable_compilation_cache,
     )
+
+    # `MP_PLATFORM=cpu mp train ...` forces a JAX platform before any
+    # backend initialization. Needed because an installed TPU plugin may
+    # pin the platform via jax.config at interpreter start (where the
+    # JAX_PLATFORMS env var alone is ignored) — e.g. to run the CLI on
+    # CPU when the TPU is unavailable.
+    platform = os.environ.get("MP_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     enable_compilation_cache()
     parsed = get_parser().parse_args(args)

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from multiplanarunet_tpu.models.unet import (
-    ConvBNBlock, _act, crop_to_match, upsample2x,
+    ConvBNBlock, SubpixelUpConv, _act, crop_to_match,
 )
 
 
@@ -60,9 +60,9 @@ class _TaskDecoder(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
-            x = upsample2x(x)
-            x = nn.Conv(int(filters * self.cf), (2, 2), padding="SAME",
-                        dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
+            x = SubpixelUpConv(int(filters * self.cf), ndim=2,
+                               dtype=self.dtype,
+                               name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,

@@ -60,6 +60,75 @@ def upsample2x(x):
     return x.reshape(B, H * 2, W * 2, C)
 
 
+class SubpixelUpConv(nn.Module):
+    """`upsample2x -> Conv(2,..)` computed as parity-specific sub-pixel convs.
+
+    The reference decoder (`mpunet/models/unet.py:148-156`) nearest-upsamples
+    2x and then applies a SAME-padded 2^n kernel conv. Because every 2x2(x2)
+    window of the upsampled tensor only ever touches 1..2 distinct source
+    pixels per axis, that conv is exactly equivalent to 2^n small convs on the
+    ORIGINAL grid — one per output-pixel parity — whose kernels are axis-wise
+    partial sums of the original kernel, interleaved back with a reshape
+    (sub-pixel / depth-to-space convolution). Identical parameters (same
+    param tree as `nn.Conv`, so checkpoints are interchangeable) and
+    identical values up to float re-association, but:
+
+      * MACs drop 16->9 per output pixel in 2D (64->27 in 3D) because the
+        duplicated taps collapse into pre-summed kernels, and
+      * the (2H, 2W[, 2D]) upsampled input is never materialized in HBM.
+
+    SAME padding for an even kernel pads (0, 1) per axis — matched here by
+    padding only the high edge of the 2-tap parity convs."""
+
+    filters: int
+    ndim: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.ndim
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2,) * n + (cin, self.filters), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.filters,),
+                          jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            ("NHWC", "HWIO", "NHWC") if n == 2 else ("NDHWC", "DHWIO", "NDHWC"),
+        )
+        x = x.astype(self.dtype)
+        parts = []
+        # Parity p per axis: 0 -> both taps hit the same source pixel
+        # (kernel axis pre-summed, extent 1), 1 -> taps straddle two source
+        # pixels (extent 2, high edge zero-padded like SAME).
+        for parity in np.ndindex(*(2,) * n):
+            k = kernel
+            for ax, p in enumerate(parity):
+                if p == 0:
+                    k = k.sum(axis=ax, keepdims=True)
+            k = k.astype(self.dtype)
+            pad = [(0, p) for p in parity]
+            parts.append(jax.lax.conv_general_dilated(
+                x, k, window_strides=(1,) * n, padding=pad,
+                dimension_numbers=dn,
+            ))
+        # Interleave: out[..., 2i+p, ...] = parts[parity][..., i, ...].
+        B = x.shape[0]
+        sp = x.shape[1:-1]
+        y = jnp.stack(parts, axis=-2)  # (B, *sp, 2^n, F)
+        y = y.reshape((B,) + tuple(sp) + (2,) * n + (self.filters,))
+        # (B, s0, s1, .., p0, p1, .., F) -> (B, s0, p0, s1, p1, .., F)
+        perm = [0]
+        for ax in range(n):
+            perm += [1 + ax, 1 + n + ax]
+        perm.append(1 + 2 * n)
+        y = y.transpose(perm)
+        y = y.reshape((B,) + tuple(2 * s for s in sp) + (self.filters,))
+        return y + bias.astype(self.dtype)
+
+
 def crop_to_match(skip, up):
     """Center-crop `skip`'s spatial dims down to `up`'s. Returns (cropped,
     crops) where crops is a (ndim_spatial, 2) array of (lo, hi) pixel crops."""
@@ -97,6 +166,7 @@ class UNet(nn.Module):
     l2_reg: float | bool = False
     init_filters: int = 64
     dtype: jnp.dtype = jnp.float32
+    subpixel_decoder: bool = True
 
     @property
     def cf(self):
@@ -131,9 +201,14 @@ class UNet(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
-            x = upsample2x(x)
-            x = nn.Conv(self._filters(filters), (2, 2), padding="SAME",
-                        dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
+            if self.subpixel_decoder:
+                x = SubpixelUpConv(self._filters(filters), ndim=2,
+                                   dtype=self.dtype,
+                                   name=f"decoder_L{i}_conv_up")(x)
+            else:
+                x = upsample2x(x)
+                x = nn.Conv(self._filters(filters), (2, 2), padding="SAME",
+                            dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,

@@ -10,7 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from multiplanarunet_tpu.models.unet import ConvBNBlock, _act, crop_to_match
+from multiplanarunet_tpu.models.unet import (
+    ConvBNBlock, SubpixelUpConv, _act, crop_to_match,
+)
 
 
 class UNet3D(nn.Module):
@@ -28,6 +30,7 @@ class UNet3D(nn.Module):
     l2_reg: float | bool = False
     init_filters: int = 64
     dtype: jnp.dtype = jnp.float32
+    subpixel_decoder: bool = True
 
     @property
     def cf(self):
@@ -58,16 +61,21 @@ class UNet3D(nn.Module):
         for i in range(self.depth):
             filters //= 2
             skip = skips[-(i + 1)]
-            # Nearest 2x upsample via broadcast (same values as
-            # jax.image.resize nearest / Keras UpSampling3D, but pure data
-            # movement instead of a per-element gather on TPU)
-            B, D, H, W, C = x.shape
-            x = jnp.broadcast_to(
-                x[:, :, None, :, None, :, None, :],
-                (B, D, 2, H, 2, W, 2, C),
-            ).reshape(B, D * 2, H * 2, W * 2, C)
-            x = nn.Conv(self._filters(filters), (2, 2, 2), padding="SAME",
-                        dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
+            if self.subpixel_decoder:
+                x = SubpixelUpConv(self._filters(filters), ndim=3,
+                                   dtype=self.dtype,
+                                   name=f"decoder_L{i}_conv_up")(x)
+            else:
+                # Nearest 2x upsample via broadcast (same values as
+                # jax.image.resize nearest / Keras UpSampling3D, but pure
+                # data movement instead of a per-element gather on TPU)
+                B, D, H, W, C = x.shape
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :, None, :],
+                    (B, D, 2, H, 2, W, 2, C),
+                ).reshape(B, D * 2, H * 2, W * 2, C)
+                x = nn.Conv(self._filters(filters), (2, 2, 2), padding="SAME",
+                            dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,

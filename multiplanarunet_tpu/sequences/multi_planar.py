@@ -21,6 +21,7 @@ on the whole batch on device."""
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -180,6 +181,10 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         self.views = np.asarray(views)
         self.batch_shape = (self.batch_size, self.sample_dim,
                             self.sample_dim, self.n_classes)
+        # In-flight pipelined batches (see _getitem_pooled); overridable via
+        # env for transport-latency tuning without touching hparams.
+        self.sampler_lookahead = int(
+            os.environ.get("MP_SAMPLER_LOOKAHEAD", "1"))
         if not no_log:
             self.log()
 
@@ -356,19 +361,25 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         return self.prepare_batches(batch_x, batch_y, batch_w)
 
     def _getitem_pooled(self, idx):
-        """One-batch software pipeline: finish the batch whose depth-0
-        candidate kernel was dispatched last call, after first dispatching
-        the NEXT batch's kernel — the candidate round-trip (the sampler's
-        only unavoidable host sync) rides behind the previous batch's
-        image/augment work and the training step."""
-        st = getattr(self, "_pending_batch", None)
-        self._pending_batch = None
-        if st is None:
-            st = self._start_pooled_batch()
-        nxt = self._start_pooled_batch()
-        out = self._finish_pooled_batch(st)
-        self._pending_batch = nxt
-        return out
+        """Software-pipelined batches: finish the OLDEST started batch after
+        topping the in-flight queue up to `sampler_lookahead` — the candidate
+        round-trip (the sampler's only unavoidable host sync) then rides
+        `lookahead` batches behind dispatch, hidden under the training steps
+        in between. Depth 1 = classic double buffering; on a high-latency
+        dispatch transport (remote TPU tunnel, ~10-20 ms/RPC) deeper
+        lookahead keeps the presence fetch always-ready. Each started state
+        is self-contained (captures its pool arrays, batch size and
+        randomness), so in-flight batches survive pool eviction, OOM
+        batch-size backoff and callback-driven fg-quota changes."""
+        q = getattr(self, "_pending_batches", None)
+        if q is None:
+            from collections import deque
+
+            q = self._pending_batches = deque()
+        depth = max(1, int(getattr(self, "sampler_lookahead", 1)))
+        while len(q) <= depth:
+            q.append(self._start_pooled_batch())
+        return self._finish_pooled_batch(q.popleft())
 
     # ------------------------------------------------------------- training
     def _sample_slice_from(self, image, has_fg_vec, has_fg_count, cur_bs):

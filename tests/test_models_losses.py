@@ -52,6 +52,50 @@ def test_unet_train_mode_updates_batch_stats():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_subpixel_decoder_matches_naive_upsample_conv():
+    """SubpixelUpConv must be numerically equivalent (same params, same
+    param tree) to the naive upsample2x -> Conv(2,2) decoder it replaces,
+    including through odd-dim crop paths and in 3D."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 24, 3))
+    m_a = UNet(n_classes=5, dim=24, n_channels=3, depth=2,
+               complexity_factor=2, init_filters=8, subpixel_decoder=True)
+    m_b = UNet(n_classes=5, dim=24, n_channels=3, depth=2,
+               complexity_factor=2, init_filters=8, subpixel_decoder=False)
+    va = m_a.init(rng, x, train=False)
+    vb = m_b.init(rng, x, train=False)
+    assert (jax.tree_util.tree_structure(va["params"])
+            == jax.tree_util.tree_structure(vb["params"]))
+    for pa, pb in zip(jax.tree_util.tree_leaves(va["params"]),
+                      jax.tree_util.tree_leaves(vb["params"])):
+        assert pa.shape == pb.shape
+    ya = m_a.apply(va, x, train=False)
+    yb = m_b.apply(va, x, train=False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
+
+    # odd input dims exercise crop_to_match after the up-conv
+    xo = jax.random.normal(jax.random.PRNGKey(2), (1, 26, 26, 1))
+    mo = UNet(n_classes=3, dim=26, depth=2, init_filters=8,
+              subpixel_decoder=True)
+    vo = mo.init(rng, xo, train=False)
+    np.testing.assert_allclose(
+        np.asarray(mo.apply(vo, xo, train=False)),
+        np.asarray(UNet(n_classes=3, dim=26, depth=2, init_filters=8,
+                        subpixel_decoder=False).apply(vo, xo, train=False)),
+        atol=1e-5)
+
+    x3 = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 16, 2))
+    m3 = UNet3D(n_classes=4, dim=16, n_channels=2, depth=2, init_filters=4,
+                subpixel_decoder=True)
+    v3 = m3.init(rng, x3, train=False)
+    np.testing.assert_allclose(
+        np.asarray(m3.apply(v3, x3, train=False)),
+        np.asarray(UNet3D(n_classes=4, dim=16, n_channels=2, depth=2,
+                          init_filters=4, subpixel_decoder=False).apply(
+            v3, x3, train=False)),
+        atol=1e-5)
+
+
 def test_unet3d_forward():
     model = UNet3D(n_classes=3, dim=16, depth=2, init_filters=4)
     variables = init_model_variables(model)

@@ -195,6 +195,22 @@ def test_pooled_and_per_image_paths_agree(toy_queue):
     assert sum(int((np.asarray(el) > 0).any()) for el in np.asarray(ys)) >= 3
 
 
+def test_pooled_lookahead_depth(toy_queue):
+    """Deeper sampler lookahead keeps `depth` self-contained batches in
+    flight and still satisfies the batch contract on every draw."""
+    seq = _make_seq(toy_queue, fg_batch_fraction=1.0)
+    seq.sampler_lookahead = 3
+    shapes = set()
+    for i in range(4):
+        X, y, w = seq[i]
+        shapes.add((X.shape, y.shape))
+        labs = np.asarray(y)
+        assert labs.min() >= 0 and labs.max() <= 3
+        assert sum(int((el > 0).any()) for el in labs) >= 3
+    assert len(shapes) == 1
+    assert len(seq._pending_batches) == 3
+
+
 def test_pool_slot_reuse(toy_queue):
     seq = _make_seq(toy_queue)
     seq[0]
