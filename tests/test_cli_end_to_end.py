@@ -141,6 +141,14 @@ def test_summary_reports(trained_project, capsys):
 def test_predict_continue_skips(trained_project, capsys):
     cwd = os.getcwd()
     try:
+        if not (trained_project / "predictions" / "nii_files").exists():
+            # Self-contained when run in isolation (normally populated by
+            # test_predict_sum_fusion above)
+            predict.entry_func([
+                "--project_dir", str(trained_project), "--out_dir",
+                "predictions", "--sum_fusion", "--overwrite",
+                "--n_planes", "same",
+            ])
         predict.entry_func([
             "--project_dir", str(trained_project), "--out_dir",
             "predictions", "--sum_fusion", "--continue",
