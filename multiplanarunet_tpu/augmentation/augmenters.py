@@ -59,6 +59,15 @@ class Elastic(Augmenter):
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def draw_batch_params(self, batch_size):
+        """Draw one batch's host-side randomness: (key, alphas, sigmas,
+        apply_mask). Same draw order as `__call__`, so a sequence using the
+        fused finish kernel consumes the augmenter RNG identically."""
+        apply_mask = self._rng.rand(batch_size) <= self.apply_prob
+        alphas = self._draw(self._alpha, batch_size)
+        sigmas = self._draw(self._sigma, batch_size)
+        return self._next_key(), alphas, sigmas, apply_mask
+
     def __call__(self, batch_x, batch_y, batch_w=None, bg_values=None):
         """Deform (B, ...) image/label arrays; returns jnp arrays.
 
@@ -74,9 +83,7 @@ class Elastic(Augmenter):
         if lab.shape[-1] == 1 and lab.ndim == batch_x.ndim:
             lab = lab[..., 0]
 
-        apply_mask = self._rng.rand(B) <= self.apply_prob
-        alphas = self._draw(self._alpha, B)
-        sigmas = self._draw(self._sigma, B)
+        key, alphas, sigmas, apply_mask = self.draw_batch_params(B)
         if bg_values is None:
             bg = jnp.zeros((B, C), jnp.float32)
         else:
@@ -85,7 +92,7 @@ class Elastic(Augmenter):
             )
 
         x_out, y_out = type(self).deform_fn(
-            self._next_key(), batch_x, lab, jnp.asarray(alphas),
+            key, batch_x, lab, jnp.asarray(alphas),
             jnp.asarray(sigmas), jnp.asarray(apply_mask), bg,
         )
         if batch_w is not None:

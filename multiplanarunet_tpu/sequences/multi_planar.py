@@ -57,6 +57,38 @@ def _pool_candidate_labels(label_pool, slots, origins, spacings, rots, bases,
     return labs, jnp.any(onehot, axis=(1, 2))
 
 
+@partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
+                                   "with_elastic"))
+def _finish_batch_fused(volumes, slots, origins, spacings, rots, bases,
+                        offsets, fills, valid_shapes, labs0, labs_rest,
+                        sel_idx, key, alphas, sigmas, apply_mask, bg,
+                        span, dim, crop, flatten_y, with_elastic):
+    """The whole batch-finish device pipeline as ONE jitted program: image
+    plane gather + chosen-label select + (optional) elastic deformation +
+    label crop/reshape. The nested jitted kernels trace inline (the
+    megagraph pattern of `MultiViewPredictor`), so a high-latency dispatch
+    transport pays ONE program launch where the sequential path paid ~5
+    (gather, eager concat, eager index, elastic, eager reshape)."""
+    X = sample_plane_batch_pool(
+        volumes, slots, origins, spacings, rots, bases, offsets, span,
+        dim, fills, valid_shapes=valid_shapes,
+    )
+    y = jnp.concatenate([labs0, labs_rest], 0)[sel_idx]
+    if with_elastic:
+        from multiplanarunet_tpu.ops.elastic import elastic_deform_2d_batch
+
+        X, y = elastic_deform_2d_batch(
+            key, X, y.astype(jnp.float32), alphas, sigmas, apply_mask, bg)
+    (l0, h0), (l1, h1) = crop
+    if l0 or h0 or l1 or h1:
+        y = y[:, l0:y.shape[1] - h0, l1:y.shape[2] - h1]
+    if flatten_y:
+        y = y.reshape(y.shape[0], -1, 1)
+    else:
+        y = y[..., None]
+    return X, y
+
+
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
 def _candidate_label_slices(labels_vol, origin, spacing, rot, bases, offsets,
                             span, dim, bg_class, n_classes, valid_shape):
@@ -334,6 +366,55 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
 
         chosen_bases = bases[np.arange(B), chosen_t]
         chosen_offsets = offsets[np.arange(B), chosen_t]
+        # chosen label slices: depth-0 rows from labs0, deeper rows from
+        # the phase-2 block (its row s_pos[b]*(K-1) + t-1)
+        if labs_rest is None:
+            sel_idx = np.arange(B)
+        else:
+            from0 = chosen_t == 0
+            sel_idx = np.where(
+                from0, np.arange(B),
+                len(labs0) + s_pos * (K - 1) + (chosen_t - 1))
+        batch_w = np.asarray(st["weights"], np.float32)
+
+        augs = self.list_of_augmenters or []
+        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
+                   and len(augs) <= 1
+                   and not getattr(self, "disable_fused_finish", False))
+        if fusable:
+            # One-dispatch finish: gather + select + elastic + prep fused
+            if augs:
+                key, alphas, sigmas, apply_mask = \
+                    augs[0].draw_batch_params(B)
+                batch_w = batch_w.copy()
+                batch_w[apply_mask] = augs[0].weight
+            else:
+                key = jax.random.PRNGKey(0)
+                alphas = sigmas = np.zeros(B, np.float32)
+                apply_mask = np.zeros(B, bool)
+            d = self.sample_dim
+            rest = (labs_rest if labs_rest is not None
+                    else np.zeros((0, d, d), np.int32))
+            batch_x, batch_y = _finish_batch_fused(
+                pool_volumes, jnp.asarray(slots),
+                jnp.asarray(params["origins"]),
+                jnp.asarray(params["spacings"]),
+                jnp.asarray(params["rots"]),
+                jnp.asarray(chosen_bases), jnp.asarray(chosen_offsets),
+                jnp.asarray(params["fills"]),
+                jnp.asarray(params["valid_shapes"]),
+                labs0, rest, sel_idx, key,
+                np.asarray(alphas, np.float32),
+                np.asarray(sigmas, np.float32),
+                np.asarray(apply_mask),
+                np.asarray(params["fills"], np.float32),
+                span, d,
+                tuple(tuple(int(c) for c in pair)
+                      for pair in self.label_crop),
+                bool(self.flatten_y), bool(len(augs)),
+            )
+            return batch_x, batch_y, batch_w
+
         batch_x = sample_plane_batch_pool(
             pool_volumes, jnp.asarray(slots),
             jnp.asarray(params["origins"]),
@@ -343,18 +424,9 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
             span, self.sample_dim, jnp.asarray(params["fills"]),
             valid_shapes=jnp.asarray(params["valid_shapes"]),
         )
-        # chosen label slices: depth-0 rows from labs0, deeper rows from
-        # the phase-2 block (its row s_pos[b]*(K-1) + t-1)
-        if labs_rest is None:
-            batch_y = labs0
-        else:
-            from0 = chosen_t == 0
-            idx = np.where(
-                from0, np.arange(B),
-                len(labs0) + s_pos * (K - 1) + (chosen_t - 1))
-            batch_y = jnp.concatenate([labs0, labs_rest], 0)[
-                jnp.asarray(idx)]
-        batch_w = np.asarray(st["weights"], np.float32)
+        batch_y = jnp.concatenate(
+            [labs0] + ([labs_rest] if labs_rest is not None else []), 0
+        )[jnp.asarray(sel_idx)]
         bgs = params["fills"]
         batch_x, batch_y, batch_w = self.augment(batch_x, batch_y, batch_w,
                                                  bgs)
