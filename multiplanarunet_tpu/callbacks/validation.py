@@ -37,13 +37,43 @@ class Validation(Callback):
         n_classes_list = (list(trainer.n_classes) if multitask
                           else [trainer.n_classes])
         n_tasks = len(n_classes_list)
-        tp = [np.zeros(nc) for nc in n_classes_list]
-        rel = [np.zeros(nc) for nc in n_classes_list]
-        sel = [np.zeros(nc) for nc in n_classes_list]
-        batch_logs = []
-        # One-deep batch prefetch (sampling overlaps the device eval step)
+        # One-deep batch prefetch (sampling overlaps the device eval step).
+        # The per-batch metric scalars and confusion counts fold into a
+        # device-resident accumulator INSIDE the jitted step (the nested
+        # jitted eval step traces inline), so the validation epoch runs with
+        # ZERO per-batch host syncs and one final fetch — the previous loop
+        # paid 4 blocking device->host round-trips per batch, which
+        # serialized the pipeline on high-latency dispatch transports.
+        import jax
+
         from concurrent.futures import ThreadPoolExecutor
 
+        if getattr(self, "_accum_step", None) is None:
+            def _accum(params, batch_stats, X, y, w, mask, factor, acc):
+                step_logs, counts = trainer.eval_step(
+                    params, batch_stats, X, y, w, mask)
+                if not multitask:
+                    counts = (counts,)
+                new_logs = {
+                    k: acc["logs"][k]
+                    + (v * factor if k.endswith("loss") else v)
+                    for k, v in step_logs.items()
+                }
+                new_counts = tuple(
+                    tuple(a + b for a, b in zip(acc_t, cnt_t))
+                    for acc_t, cnt_t in zip(acc["counts"], counts)
+                )
+                return {"logs": new_logs, "counts": new_counts}
+
+            self._accum_step = jax.jit(_accum)
+
+        acc = {
+            "logs": None,  # keys adopted from the first batch's step_logs
+            "counts": tuple(
+                tuple(np.zeros(nc, np.float32) for _ in range(3))
+                for nc in n_classes_list
+            ),
+        }
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             future = prefetcher.submit(self.sequence.__getitem__, 0)
             for i in range(self.steps):
@@ -53,30 +83,42 @@ class Validation(Callback):
                         self.sequence.__getitem__, i + 1
                     )
                 # Shard eval batches over the mesh like the train path (pads
-                # to a device-count multiple; the mask keeps counts exact)
+                # to a device-count multiple; the mask keeps counts exact).
+                # `factor` undoes the padded-batch denominator in the mean
+                # loss (pads carry zero sample weight).
                 X, y, w, mask, n_true = trainer._shard_eval(X, y, w)
-                step_logs, counts = trainer.eval_step(
-                    trainer.state.params, trainer.state.batch_stats, X, y, w,
-                    mask,
-                )
-                if not multitask:
-                    counts = (counts,)
-                step_logs = {k: float(v) for k, v in step_logs.items()}
                 n_pad = int((X[0] if multitask else X).shape[0])
-                if n_pad != n_true:
-                    # Undo the padded-batch denominator in the mean loss
-                    # (pads carry zero sample weight)
-                    for k in step_logs:
-                        if k.endswith("loss"):
-                            step_logs[k] *= n_pad / n_true
-                batch_logs.append(step_logs)
-                for t, (btp, brel, bsel) in enumerate(counts):
-                    tp[t] += np.asarray(btp)
-                    rel[t] += np.asarray(brel)
-                    sel[t] += np.asarray(bsel)
+                factor = np.float32(n_pad / n_true)
+                if acc["logs"] is None:
+                    step_logs, counts = trainer.eval_step(
+                        trainer.state.params, trainer.state.batch_stats,
+                        X, y, w, mask,
+                    )
+                    if not multitask:
+                        counts = (counts,)
+                    acc = {
+                        "logs": {
+                            k: (v * factor if k.endswith("loss") else v)
+                            for k, v in step_logs.items()
+                        },
+                        "counts": tuple(
+                            tuple(a + b for a, b in zip(acc_t, cnt_t))
+                            for acc_t, cnt_t in zip(acc["counts"], counts)
+                        ),
+                    }
+                else:
+                    acc = self._accum_step(
+                        trainer.state.params, trainer.state.batch_stats,
+                        X, y, w, mask, factor, acc,
+                    )
+        # The epoch's single host sync
+        acc = jax.tree_util.tree_map(np.asarray, acc)
+        tp = [np.asarray(c[0], np.float64) for c in acc["counts"]]
+        rel = [np.asarray(c[1], np.float64) for c in acc["counts"]]
+        sel = [np.asarray(c[2], np.float64) for c in acc["counts"]]
 
-        for key in batch_logs[0]:
-            logs[f"val_{key}"] = float(np.mean([b[key] for b in batch_logs]))
+        for key, total in acc["logs"].items():
+            logs[f"val_{key}"] = float(total) / self.steps
 
         mps, mrs, mds, tables = [], [], [], []
         for t in range(n_tasks):

@@ -159,3 +159,62 @@ def test_validation_sharded_matches_single_device(toy_setup, tmp_path,
     assert results["sharded"]["val_recall"] == results["single"]["val_recall"]
     np.testing.assert_allclose(results["sharded"]["val_loss"],
                                results["single"]["val_loss"], rtol=1e-5)
+
+
+def test_validation_matches_per_batch_host_accumulation(toy_setup, tmp_path,
+                                                        monkeypatch):
+    """The device-resident epoch accumulator (one host fetch per epoch) must
+    reproduce the per-batch host accumulation it replaced: eval_step per
+    batch, padded-loss correction, float64 count sums, metric means."""
+    monkeypatch.chdir(tmp_path)
+    from multiplanarunet_tpu.callbacks.validation import Validation
+    from multiplanarunet_tpu.evaluate.metrics import precision_recall_dice
+
+    val_seq = toy_setup["val"]
+    val_seq.batch_size = 6
+
+    class _Replay:
+        def __init__(self, batches):
+            self.batches = batches
+            self.batch_size = 6
+
+        def __getitem__(self, i):
+            return self.batches[i % len(self.batches)]
+
+    batches = [val_seq[i] for i in range(3)]
+    trainer = _make_trainer(tmp_path, single_device=False)
+
+    # Ground truth: the pre-accumulator algorithm, one host fetch per batch
+    tp = np.zeros(4)
+    rel = np.zeros(4)
+    sel = np.zeros(4)
+    batch_logs = []
+    for X, y, w in batches:
+        Xs, ys, ws, mask, n_true = trainer._shard_eval(X, y, w)
+        step_logs, counts = trainer.eval_step(
+            trainer.state.params, trainer.state.batch_stats, Xs, ys, ws, mask)
+        step_logs = {k: float(v) for k, v in step_logs.items()}
+        n_pad = int(Xs.shape[0])
+        if n_pad != n_true:
+            for k in step_logs:
+                if k.endswith("loss"):
+                    step_logs[k] *= n_pad / n_true
+        batch_logs.append(step_logs)
+        tp += np.asarray(counts[0])
+        rel += np.asarray(counts[1])
+        sel += np.asarray(counts[2])
+    expected = {f"val_{k}": float(np.mean([b[k] for b in batch_logs]))
+                for k in batch_logs[0]}
+    (_, _, _), (mp, mr, md) = precision_recall_dice(tp, rel, sel,
+                                                    ignore_bg=True)
+    expected.update(val_precision=mp, val_recall=mr, val_dice=md)
+
+    cb = Validation(_Replay(batches), steps=3, logger=ScreenLogger(False),
+                    verbose=False)
+    cb.set_trainer(trainer)
+    logs = {}
+    cb.on_epoch_end(0, logs)
+
+    assert set(expected) <= set(logs)
+    for k, v in expected.items():
+        np.testing.assert_allclose(logs[k], v, rtol=1e-5, err_msg=k)
