@@ -90,7 +90,7 @@ def main():
         n_classes=n_classes, chunk=chunk,
         # A/B knob: MP_BENCH_NO_FUSE=1 dispatches per-view programs
         # instead of the fused multi-view graph (same-window comparisons)
-        fuse_views=not os.environ.get("MP_BENCH_NO_FUSE"),
+        fuse_views=os.environ.get("MP_BENCH_NO_FUSE", "0") in ("", "0"),
     )
 
     def run_once():

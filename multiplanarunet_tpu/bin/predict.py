@@ -298,6 +298,13 @@ def entry_func(args=None):
     views = np.load(Path(project_dir) / "views.npz")["arr_0"]
     logger(f"Using {len(views)} views")
 
+    # Multi-host: join the process group BEFORE the first JAX computation
+    # (jax.distributed.initialize refuses to run once the backend exists —
+    # model_initializer below initializes it). No-op single-process.
+    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
+
+    n_procs, _ = maybe_initialize_distributed(logger=logger)
+
     model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
     weights = get_best_model(Path(project_dir) / "model")
     logger(f"Loading model weights from {weights}")
@@ -333,9 +340,6 @@ def entry_func(args=None):
     )
     import jax
 
-    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
-
-    n_procs, _ = maybe_initialize_distributed(logger=logger)
     # Multi-process predict keeps a per-host mesh: each process predicts
     # with its own local devices (images are independent work items; use
     # cv_experiment-style splitting to spread a cohort over hosts).

@@ -48,32 +48,42 @@ class Validation(Callback):
 
         from concurrent.futures import ThreadPoolExecutor
 
+        import jax.numpy as jnp
+
         if getattr(self, "_accum_step", None) is None:
-            def _accum(params, batch_stats, X, y, w, mask, factor, acc):
+            def _accum(params, batch_stats, X, y, w, mask, acc):
                 step_logs, counts = trainer.eval_step(
                     params, batch_stats, X, y, w, mask)
                 if not multitask:
                     counts = (counts,)
+                # Undo the padded-batch denominator in the mean loss (pads
+                # carry zero sample weight): factor = n_padded / n_true,
+                # computed in-graph from the validity mask so it is correct
+                # for multi-process meshes too (global pad / global true).
+                if mask is None:
+                    factor = jnp.float32(1.0)
+                else:
+                    m = mask[0] if isinstance(mask, (tuple, list)) else mask
+                    factor = jnp.float32(m.shape[0]) / jnp.sum(m)
                 new_logs = {
                     k: acc["logs"][k]
                     + (v * factor if k.endswith("loss") else v)
                     for k, v in step_logs.items()
                 }
+                # Counts are exact integers (one-hot sums, 0/1 mask); int32
+                # accumulation keeps them exact across arbitrarily many
+                # batches (f32 would round past 2^24). Overflows only past
+                # 2^31 voxels of one class per epoch.
                 new_counts = tuple(
-                    tuple(a + b for a, b in zip(acc_t, cnt_t))
+                    tuple(a + b.astype(jnp.int32)
+                          for a, b in zip(acc_t, cnt_t))
                     for acc_t, cnt_t in zip(acc["counts"], counts)
                 )
                 return {"logs": new_logs, "counts": new_counts}
 
             self._accum_step = jax.jit(_accum)
 
-        acc = {
-            "logs": None,  # keys adopted from the first batch's step_logs
-            "counts": tuple(
-                tuple(np.zeros(nc, np.float32) for _ in range(3))
-                for nc in n_classes_list
-            ),
-        }
+        acc = None
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             future = prefetcher.submit(self.sequence.__getitem__, 0)
             for i in range(self.steps):
@@ -84,33 +94,24 @@ class Validation(Callback):
                     )
                 # Shard eval batches over the mesh like the train path (pads
                 # to a device-count multiple; the mask keeps counts exact).
-                # `factor` undoes the padded-batch denominator in the mean
-                # loss (pads carry zero sample weight).
-                X, y, w, mask, n_true = trainer._shard_eval(X, y, w)
-                n_pad = int((X[0] if multitask else X).shape[0])
-                factor = np.float32(n_pad / n_true)
-                if acc["logs"] is None:
-                    step_logs, counts = trainer.eval_step(
-                        trainer.state.params, trainer.state.batch_stats,
-                        X, y, w, mask,
-                    )
-                    if not multitask:
-                        counts = (counts,)
+                X, y, w, mask, _ = trainer._shard_eval(X, y, w)
+                if acc is None:
+                    # Zero seed with the step's metric keys — trace-only,
+                    # nothing is compiled or dispatched.
+                    log_spec, _ = jax.eval_shape(
+                        trainer.eval_step, trainer.state.params,
+                        trainer.state.batch_stats, X, y, w, mask)
                     acc = {
-                        "logs": {
-                            k: (v * factor if k.endswith("loss") else v)
-                            for k, v in step_logs.items()
-                        },
+                        "logs": {k: np.float32(0) for k in log_spec},
                         "counts": tuple(
-                            tuple(a + b for a, b in zip(acc_t, cnt_t))
-                            for acc_t, cnt_t in zip(acc["counts"], counts)
+                            tuple(np.zeros(nc, np.int32) for _ in range(3))
+                            for nc in n_classes_list
                         ),
                     }
-                else:
-                    acc = self._accum_step(
-                        trainer.state.params, trainer.state.batch_stats,
-                        X, y, w, mask, factor, acc,
-                    )
+                acc = self._accum_step(
+                    trainer.state.params, trainer.state.batch_stats,
+                    X, y, w, mask, acc,
+                )
         # The epoch's single host sync
         acc = jax.tree_util.tree_map(np.asarray, acc)
         tp = [np.asarray(c[0], np.float64) for c in acc["counts"]]

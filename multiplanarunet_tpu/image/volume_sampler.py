@@ -61,7 +61,9 @@ class VolumeSampler:
 
         self._device_volume = None
         self._device_volume_packed = None
+        self._device_volume_packed_key = None
         self._device_volume_unpacked = None
+        self._device_volume_unpacked_key = None
         self._device_labels = None
         self._scaled_cache = None
 
@@ -227,7 +229,9 @@ class VolumeSampler:
         transfer — significant on remote-device transports) and the 8x corner
         packing expands on device. quantize=True ships per-channel affine
         uint8 codes instead (half again) and dequantizes on device."""
-        if self._device_volume_packed is None:
+        stage_key = (int(bucket or 0), dtype, bool(quantize))
+        if (self._device_volume_packed is None
+                or self._device_volume_packed_key != stage_key):
             import jax.numpy as jnp
 
             from multiplanarunet_tpu.ops.interp import pack_corners
@@ -247,6 +251,7 @@ class VolumeSampler:
                         jnp.bfloat16 if dtype == "bfloat16" else dtype
                     )
             self._device_volume_packed = pack_corners(vol)
+            self._device_volume_packed_key = stage_key
         return self._device_volume_packed
 
     def device_volume_unpacked(self, bucket=32, dtype="bfloat16",
@@ -257,17 +262,20 @@ class VolumeSampler:
         `device_volume` (whose float32 cache the training path relies on).
         quantize=True ships uint8 codes + on-device dequant (see
         `_stage_quantized`) — same bf16 result dtype, half the transfer."""
-        if self._device_volume_unpacked is None:
+        stage_key = (int(bucket or 0), dtype, bool(quantize))
+        if (self._device_volume_unpacked is None
+                or self._device_volume_unpacked_key != stage_key):
             import jax.numpy as jnp
 
             if quantize and dtype == "bfloat16":
                 self._device_volume_unpacked = self._stage_quantized(bucket)
-                return self._device_volume_unpacked
-            np_dtype = jnp.bfloat16 if dtype == "bfloat16" else dtype
-            vol = self._bucket_pad(self.scaled_volume, bucket)
-            if dtype is not None:
-                vol = vol.astype(np_dtype)
-            self._device_volume_unpacked = jnp.asarray(vol)
+            else:
+                np_dtype = jnp.bfloat16 if dtype == "bfloat16" else dtype
+                vol = self._bucket_pad(self.scaled_volume, bucket)
+                if dtype is not None:
+                    vol = vol.astype(np_dtype)
+                self._device_volume_unpacked = jnp.asarray(vol)
+            self._device_volume_unpacked_key = stage_key
         return self._device_volume_unpacked
 
     def padded_shape(self, bucket=32):
@@ -302,6 +310,8 @@ class VolumeSampler:
     def unload_device(self):
         self._device_volume = None
         self._device_volume_packed = None
+        self._device_volume_packed_key = None
         self._device_volume_unpacked = None
+        self._device_volume_unpacked_key = None
         self._device_labels = None
         self._scaled_cache = None

@@ -76,10 +76,19 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         # Already initialized, or single-process environment without
-        # coordinator configuration
-        pass
+        # coordinator configuration. With an EXPLICIT multi-process
+        # config a silent fallback would run every process standalone
+        # (e.g. initialize called after the first JAX computation) —
+        # that must be loud.
+        if (num_processes or 1) > 1 and jax.process_count() == 1:
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for an explicit "
+                f"{num_processes}-process configuration (most often: "
+                f"called after the JAX backend was already initialized "
+                f"by a device computation): {e}"
+            ) from e
     return jax.process_count(), jax.process_index()
 
 

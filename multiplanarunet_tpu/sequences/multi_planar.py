@@ -388,10 +388,23 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                     augs[0].draw_batch_params(B)
                 batch_w = batch_w.copy()
                 batch_w[apply_mask] = augs[0].weight
+                alphas = np.asarray(alphas, np.float32)
+                sigmas = np.asarray(sigmas, np.float32)
+                apply_mask = np.asarray(apply_mask)
             else:
-                key = jax.random.PRNGKey(0)
-                alphas = sigmas = np.zeros(B, np.float32)
-                apply_mask = np.zeros(B, bool)
+                # No augmenter: the kernel ignores these (with_elastic is a
+                # static False) — cache the constant key/zeros ONCE so the
+                # per-batch path pays no eager PRNGKey op or dummy host->
+                # device transfers (each is an RPC on remote transports).
+                cached = getattr(self, "_noaug_finish_params", None)
+                if cached is None or int(cached[1].shape[0]) != B:
+                    cached = self._noaug_finish_params = (
+                        jax.random.PRNGKey(0),
+                        jnp.zeros(B, jnp.float32),
+                        jnp.zeros(B, jnp.float32),
+                        jnp.zeros(B, bool),
+                    )
+                key, alphas, sigmas, apply_mask = cached
             d = self.sample_dim
             rest = (labs_rest if labs_rest is not None
                     else np.zeros((0, d, d), np.int32))
@@ -404,9 +417,7 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                 jnp.asarray(params["fills"]),
                 jnp.asarray(params["valid_shapes"]),
                 labs0, rest, sel_idx, key,
-                np.asarray(alphas, np.float32),
-                np.asarray(sigmas, np.float32),
-                np.asarray(apply_mask),
+                alphas, sigmas, apply_mask,
                 np.asarray(params["fills"], np.float32),
                 span, d,
                 tuple(tuple(int(c) for c in pair)
@@ -441,13 +452,18 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         dispatch transport (remote TPU tunnel, ~10-20 ms/RPC) deeper
         lookahead keeps the presence fetch always-ready. Each started state
         is self-contained (captures its pool arrays, batch size and
-        randomness), so in-flight batches survive pool eviction, OOM
-        batch-size backoff and callback-driven fg-quota changes."""
+        randomness), so in-flight batches survive pool eviction; states
+        whose captured batch size no longer matches (OOM backoff shrank
+        self.batch_size between start and finish) are discarded, so the
+        first retry step does not re-OOM on a stale oversized batch."""
+        from collections import deque
+
         q = getattr(self, "_pending_batches", None)
         if q is None:
-            from collections import deque
-
             q = self._pending_batches = deque()
+        if any(len(st["slots"]) != self.batch_size for st in q):
+            q = self._pending_batches = deque(
+                st for st in q if len(st["slots"]) == self.batch_size)
         depth = max(1, int(getattr(self, "sampler_lookahead", 1)))
         while len(q) <= depth:
             q.append(self._start_pooled_batch())

@@ -181,10 +181,15 @@ class Trainer:
         n_true = int(X.shape[0])
         if self.n_devices <= 1:
             return X, y, w, None, n_true
-        X, y, w = self._shard(X, y, w)
-        n_pad = int(X.shape[0])
-        mask = np.ones(n_pad, np.float32)
+        # Build the validity mask over the process-LOCAL padded piece BEFORE
+        # sharding: each process pads its own slice, and shard_batch expects
+        # local data in the multi-process case (it assembles the global
+        # array from per-process pieces, in the same order as X/y/w).
+        local_pad = mesh_lib.pad_batch_to_multiple(
+            n_true, self._n_local_devices)
+        mask = np.ones(local_pad, np.float32)
         mask[n_true:] = 0.0
+        X, y, w = self._shard(X, y, w)
         mask = mesh_lib.shard_batch(mask, self.mesh)
         return X, y, w, mask, n_true
 

@@ -946,8 +946,17 @@ class MultiViewPredictor:
             for d in devices[:n_use]
         ]
         accums = list(zeros)
+        # Async dispatch eagerly allocates EVERY queued program's outputs:
+        # with more views than devices, stacking a second view chain onto a
+        # device at >= 512^3 scale exhausts its HBM just like the single
+        # chip path (see _run_shear's guard) — so before queueing another
+        # chain on a device, drain its previous one with a tiny fetch.
+        big = float(np.prod(out_shape)) * self.n_classes * 4 > 1.5e9
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
             d = v % n_use
+            if big and v >= n_use:
+                np.asarray(accums[d][:1, :1, :1, 0])  # real sync (remote
+                # transport's block_until_ready can return early)
             if self.logger:
                 self.logger(f"View {v + 1}/{len(views)}: "
                             f"{np.round(views[v], 4)} "
@@ -960,6 +969,7 @@ class MultiViewPredictor:
             pred = self._unet_fn(varss[d], stack)
             accums[d], _ = remap_fn(pred, accums[d], w_v,
                                     want_argmax=False)
+            del stack, pred
         total = accums[0]
         add = jax.jit(jnp.add)
         for a in accums[1:]:

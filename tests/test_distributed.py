@@ -95,9 +95,46 @@ for it in range(4):
 checksum = float(
     sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(state.params))
 )
+
+# ---- epoch validation across hosts: local batch 3 over 2 local devices
+# exercises the per-process pad + validity mask and the in-graph
+# padded-loss factor (global pad 8 / global true 6).
+from multiplanarunet_tpu.callbacks.validation import Validation
+from multiplanarunet_tpu.logging import ScreenLogger
+from multiplanarunet_tpu.train import Trainer
+
+val_trainer = Trainer(model, init_model_variables(model, jax.random.PRNGKey(0)),
+                      logger=ScreenLogger(False), mesh=mesh)
+val_trainer.compile_model(
+    optimizer="Adam", optimizer_kwargs={"lr": 1e-3},
+    loss="SparseCategoricalCrossentropy", metrics=[])
+
+VAL_GLOBAL, LOCAL_VAL = 6, 3
+rngv = np.random.RandomState(7)
+gvx = rngv.rand(VAL_GLOBAL, 16, 16, 1).astype(np.float32)
+gvy = (gvx[..., 0] > 0.5).astype(np.int32)[..., None] + (
+    gvx[..., 0] > 0.8).astype(np.int32)[..., None]
+vstart = pid * LOCAL_VAL
+
+
+class _Replay:
+    batch_size = LOCAL_VAL
+
+    def __getitem__(self, i):
+        return (gvx[vstart:vstart + LOCAL_VAL],
+                gvy[vstart:vstart + LOCAL_VAL],
+                np.ones(LOCAL_VAL, np.float32))
+
+
+cb = Validation(_Replay(), steps=2, logger=ScreenLogger(False), verbose=False)
+cb.set_trainer(val_trainer)
+val_logs = {}
+cb.on_epoch_end(0, val_logs)
+
 print("RESULT " + json.dumps({
     "pid": pid, "losses": losses, "checksum": checksum,
     "global_devices": jax.device_count(),
+    "val_loss": val_logs["val_loss"], "val_dice": val_logs["val_dice"],
 }))
 """
 
@@ -164,3 +201,52 @@ def test_replicas_stay_identical(two_process_results):
     r0, r1 = two_process_results[0], two_process_results[1]
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0, atol=0)
     assert r0["checksum"] == r1["checksum"]
+
+
+def test_multihost_validation_matches_single_process(two_process_results):
+    """The Validation callback running across 2 processes (local batch 3,
+    per-process pad + mask) must reproduce the single-process numbers for
+    the same global batches: the mask is built over the process-LOCAL
+    padded piece and the padded-loss factor is global-pad / global-true."""
+    import jax
+
+    from multiplanarunet_tpu.callbacks.validation import Validation
+    from multiplanarunet_tpu.logging import ScreenLogger
+    from multiplanarunet_tpu.models import UNet, init_model_variables
+    from multiplanarunet_tpu.parallel import get_mesh
+    from multiplanarunet_tpu.train import Trainer
+
+    # Same model/seed/data as the worker's validation block, single process
+    # over a 4-device mesh (global batch 6 pads to 8 with the same 6/8
+    # validity ratio; the pad rows differ but carry zero weight and are
+    # masked out of the confusion counts).
+    model = UNet(n_classes=3, dim=16, n_channels=1, depth=1, init_filters=4)
+    trainer = Trainer(model, init_model_variables(model, jax.random.PRNGKey(0)),
+                      logger=ScreenLogger(False),
+                      mesh=get_mesh(jax.devices()[:4]))
+    trainer.compile_model(
+        optimizer="Adam", optimizer_kwargs={"lr": 1e-3},
+        loss="SparseCategoricalCrossentropy", metrics=[])
+
+    rngv = np.random.RandomState(7)
+    gvx = rngv.rand(6, 16, 16, 1).astype(np.float32)
+    gvy = (gvx[..., 0] > 0.5).astype(np.int32)[..., None] + (
+        gvx[..., 0] > 0.8).astype(np.int32)[..., None]
+
+    class _Replay:
+        batch_size = 6
+
+        def __getitem__(self, i):
+            return gvx, gvy, np.ones(6, np.float32)
+
+    cb = Validation(_Replay(), steps=2, logger=ScreenLogger(False),
+                    verbose=False)
+    cb.set_trainer(trainer)
+    expected = {}
+    cb.on_epoch_end(0, expected)
+
+    for r in two_process_results.values():
+        np.testing.assert_allclose(r["val_loss"], expected["val_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(r["val_dice"], expected["val_dice"],
+                                   rtol=1e-6)

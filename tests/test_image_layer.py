@@ -109,6 +109,31 @@ def test_volume_sampler_paths(anis_pair):
     )
 
 
+def test_volume_staging_cache_keyed_on_mode(anis_pair):
+    """device_volume_unpacked/packed must not serve a cached volume staged
+    under a DIFFERENT quantize/dtype mode (e.g. a u8-staged predictor
+    followed by a bf16 one sharing the sampler)."""
+    pair, img, lab = anis_pair
+    pair.set_bg_value(0.0)
+    pair.set_scaler("StandardScaler", compute_now=True)
+    sampler = pair.interpolator
+
+    v_bf16 = np.asarray(sampler.device_volume_unpacked(), np.float32)
+    v_u8 = np.asarray(
+        sampler.device_volume_unpacked(quantize=True), np.float32)
+    # Quantized staging is lossy — identical arrays mean the cache ignored
+    # the mode switch
+    assert np.abs(v_bf16 - v_u8).max() > 0
+    # Switching back must restore the exact unquantized staging
+    v_back = np.asarray(sampler.device_volume_unpacked(), np.float32)
+    np.testing.assert_array_equal(v_bf16, v_back)
+
+    p_bf16 = np.asarray(sampler.device_volume_packed(), np.float32)
+    p_u8 = np.asarray(
+        sampler.device_volume_packed(quantize=True), np.float32)
+    assert np.abs(p_bf16 - p_u8).max() > 0
+
+
 @pytest.fixture(scope="module")
 def toy_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("toy")
