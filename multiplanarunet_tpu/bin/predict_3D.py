@@ -136,16 +136,20 @@ def entry_func(args=None):
         image = loader.get_by_id(image_id)
         with image.loaded_in_context():
             logger(f"\n--- Predicting on {image_id} ---")
+            # want_argmax: only the uint8 class map crosses device->host
+            # (the full float32 softmax volume is n_classes*4 x larger —
+            # the dominant cost on remote-device transports)
             if iso_mode:
-                vol = pred_3D_iso(predict_fn, seq, image,
-                                  extra_boxes=args.extra_boxes,
-                                  min_coverage=args.min_coverage,
-                                  logger=logger)
+                pred_cls = pred_3D_iso(predict_fn, seq, image,
+                                       extra_boxes=args.extra_boxes,
+                                       min_coverage=args.min_coverage,
+                                       logger=logger, want_argmax=True)
             else:
-                vol = predict_3D_patches(predict_fn, seq, image,
-                                         n_extra=args.N_extra_patches,
-                                         n_classes=n_classes, logger=logger)
-            pred_cls = vol.argmax(-1).astype(np.uint8)
+                pred_cls = predict_3D_patches(predict_fn, seq, image,
+                                              n_extra=args.N_extra_patches,
+                                              n_classes=n_classes,
+                                              logger=logger,
+                                              want_argmax=True)
             if not args.no_eval and image.labels is not None:
                 dices = dice_all(image.labels, pred_cls,
                                  n_classes=n_classes, ignore_zero=True)

@@ -105,15 +105,19 @@ class PatchSequence3D(BaseSequence):
         return X, y, np.asarray(ws, np.float32)
 
     # ------------------------------------------------------------ inference
-    def get_base_patches(self, image):
-        X = image.image
+    def base_corners(self, image):
+        """(N, 3) int corners of the base tiling (shared by the host patch
+        generator and the device-resident recon in predict_3D_patches)."""
         sample_space = np.maximum(np.asarray(image.shape[:3]), self.dim)
         d = sample_space - self.dim
         n = np.ceil(sample_space / self.dim).astype(int)
         axes = [np.linspace(0, d[i], n[i]).astype(int) for i in range(3)]
         mesh = np.meshgrid(*axes, indexing="ij")
-        placements = np.stack([m.ravel() for m in mesh], axis=1)
-        for p in placements:
+        return np.stack([m.ravel() for m in mesh], axis=1)
+
+    def get_base_patches(self, image):
+        X = image.image
+        for p in self.base_corners(image):
             patch = self._cut(X, p)
             yield image.scaler.transform(patch), tuple(int(v) for v in p)
 
@@ -158,8 +162,11 @@ class SlidingPatchSequence3D(PatchSequence3D):
         corners = self.corners_for(vol_shape)
         return list(corners[np.random.randint(len(corners))])
 
+    def base_corners(self, image):
+        return self.corners_for(image.image.shape)
+
     def get_base_patches(self, image):
         X = image.image
-        for p in self.corners_for(X.shape):
+        for p in self.base_corners(image):
             patch = self._cut(X, p)
             yield image.scaler.transform(patch), tuple(int(v) for v in p)

@@ -1271,9 +1271,14 @@ def map_real_space_pred(pred, grid, inv_basis, affine, true_shape,
 
 # ------------------------------------------------------------------ 3D paths
 def pred_3D_iso(predict_fn, sequence, image, extra_boxes, min_coverage=None,
-                logger=None):
+                logger=None, want_argmax=False):
     """Scanner-space box inference with on-device scatter-add recon
-    (parity: `utils/fusion/fuse_and_predict.py:200-293`)."""
+    (parity: `utils/fusion/fuse_and_predict.py:200-293`).
+
+    want_argmax=True fetches only the uint8 class map (argmax of the box
+    sums — identical to argmaxing the returned volume) instead of the full
+    (X, Y, Z, n_classes) float32 sums: ~n_classes*4 x less device->host
+    transfer, the dominant cost on remote-device transports."""
     n_classes = sequence.n_classes
     sampler = image.interpolator
     true_shape = tuple(int(s) for s in image.shape[:3])
@@ -1308,33 +1313,113 @@ def pred_3D_iso(predict_fn, sequence, image, extra_boxes, min_coverage=None,
         pred_vol = run_box(pred_vol, im, corner, inv_rot)
 
     if min_coverage:
-        covered = np.logical_not(
-            np.all(np.isclose(np.asarray(pred_vol), 0), axis=-1)
-        )
-        coverage = covered.sum() / covered.size
+        # Coverage check on device: one scalar fetch per round instead of
+        # pulling the whole float32 volume to the host between rounds
+        coverage = float(_coverage_fraction(pred_vol))
         while coverage < min_coverage:
             for im, corner, axes, inv_rot in sequence.get_N_random_patches_from(
                     image, max(1, total_base // 4)):
                 pred_vol = run_box(pred_vol, im, corner, inv_rot)
-            covered = np.logical_not(
-                np.all(np.isclose(np.asarray(pred_vol), 0), axis=-1)
-            )
-            coverage = covered.sum() / covered.size
+            coverage = float(_coverage_fraction(pred_vol))
+    if want_argmax:
+        return np.asarray(_argmax_u8(pred_vol))
     return np.asarray(pred_vol)  # un-normalized sums, as in the reference
 
 
+@jax.jit
+def _coverage_fraction(v):
+    """Fraction of voxels any box touched (matches np.isclose(v, 0))."""
+    return jnp.mean(~jnp.all(jnp.isclose(v, 0), axis=-1),
+                    dtype=jnp.float32)
+
+
+@jax.jit
+def _argmax_u8(v):
+    return jnp.argmax(v, -1).astype(jnp.uint8)
+
+
+_PATCH_RECON_FNS = OrderedDict()
+
+
+def _patch_recon_fn(predict_fn, d, want_argmax):
+    """One jitted program for a whole voxel-patch recon: lax.scan over the
+    patch corners, each step dynamic-slicing the staged scaled volume,
+    running the model (the nested jitted predict_fn traces inline) and
+    scatter-adding the softmax into the device accumulator. jit's own cache
+    handles per-(volume shape, corner count) specializations."""
+    # The cached entry pins predict_fn (strong ref) so an id() can never be
+    # recycled by a dead function while its key is still in the cache
+    key = (id(predict_fn), int(d), bool(want_argmax))
+    hit = _PATCH_RECON_FNS.get(key)
+    if hit is not None and hit[0] is predict_fn:
+        return hit[1]
+
+    def _run(vol, corners, recon):
+        def body(recon, c):
+            p = jax.lax.dynamic_slice(
+                vol, (c[0], c[1], c[2], 0),
+                (d, d, d, vol.shape[-1]))
+            pred = predict_fn(p[None])[0].astype(jnp.float32)
+            cur = jax.lax.dynamic_slice(
+                recon, (c[0], c[1], c[2], 0),
+                (d, d, d, recon.shape[-1]))
+            return jax.lax.dynamic_update_slice(
+                recon, cur + pred, (c[0], c[1], c[2], 0)), 0
+
+        recon, _ = jax.lax.scan(body, recon, corners)
+        if want_argmax:
+            # argmax of the raw sums == argmax of the normalized probs
+            return jnp.argmax(recon, -1).astype(jnp.uint8)
+        return recon / jnp.maximum(recon.sum(-1, keepdims=True), 1e-8)
+
+    fn = jax.jit(_run)
+    _PATCH_RECON_FNS[key] = (predict_fn, fn)
+    while len(_PATCH_RECON_FNS) > 8:
+        _PATCH_RECON_FNS.popitem(last=False)
+    return fn
+
+
 def predict_3D_patches(predict_fn, patches, image, n_extra=0, n_classes=None,
-                       logger=None):
-    """Voxel-space patch recon: slice-add softmax sums, normalize."""
-    i1, i2, i3 = image.shape[:3]
+                       logger=None, want_argmax=False):
+    """Voxel-space patch recon: slice-add softmax sums, normalize.
+
+    TPU-native path: when every axis fits a full patch, the whole recon is
+    ONE jitted device program over all base + extra corners with a single
+    host fetch — the reference (and the previous host loop here) fetches
+    every patch's full softmax to the host and scatter-adds in numpy
+    (reference `mpunet/utils/fusion/fuse_and_predict.py:171-197`), which is
+    device->host-bandwidth-bound. Volumes smaller than the patch keep the
+    host loop (center_expand padding parity). want_argmax=True fetches only
+    the uint8 class map."""
+    i1, i2, i3 = (int(s) for s in image.shape[:3])
     n_classes = n_classes or patches.n_classes
     d = patches.dim
+    sampler = getattr(image, "interpolator", None)
+    if min(i1, i2, i3) >= d and sampler is not None:
+        corners = np.asarray(patches.base_corners(image), np.int64)
+        if n_extra:
+            extra = np.asarray(
+                [patches._random_corner(image.image.shape)
+                 for _ in range(int(n_extra))], np.int64)
+            corners = np.concatenate([corners, extra.reshape(-1, 3)])
+        if logger:
+            logger(f"   {len(corners)} patches in one device program")
+        run = _patch_recon_fn(predict_fn, d, want_argmax)
+        out = run(
+            sampler.device_volume(),
+            jnp.asarray(corners.astype(np.int32)),
+            jnp.zeros((i1, i2, i3, n_classes), jnp.float32),
+        )
+        return np.asarray(out)
+
     recon = np.zeros((i1, i2, i3, n_classes), np.float32)
     for patch, (i, k, v), status in patches.get_patches_from(image, n_extra):
         pred = np.asarray(predict_fn(np.asarray(patch)[None])[0])
         recon[i:i + d, k:k + d, v:v + d] += pred[
             : min(d, i1 - i), : min(d, i2 - k), : min(d, i3 - v)
         ]
+    if want_argmax:
+        return recon.argmax(-1).astype(np.uint8)
     recon /= np.maximum(recon.sum(-1, keepdims=True), 1e-8)
     return recon
 

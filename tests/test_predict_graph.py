@@ -381,6 +381,59 @@ def test_predict_3d_patches_voxel_recon(label_image):
     assert acc > 0.99, acc
 
 
+def test_predict_3d_patches_device_matches_host_loop(label_image):
+    """The single-program device recon (scan over corners) must reproduce
+    the per-patch host loop it replaced, and want_argmax must equal the
+    probs argmax."""
+    pair, lab = label_image
+    seq = get_sequence(
+        _wrap_queue(pair), intrp_style="patches_3d", dim=16, batch_size=1,
+        n_classes=N_CLASSES, logger=ScreenLogger(False), no_log=True,
+    )
+    model = OneHotOracle()
+    predict_fn = jax.jit(lambda x: model.apply({"params": {}}, x))
+
+    probs = predict_3D_patches(predict_fn, seq, pair, n_extra=0,
+                               n_classes=N_CLASSES)
+    cls = predict_3D_patches(predict_fn, seq, pair, n_extra=0,
+                             n_classes=N_CLASSES, want_argmax=True)
+
+    # Host oracle: the pre-megagraph per-patch fetch + numpy scatter-add
+    i1, i2, i3 = pair.shape[:3]
+    d = seq.dim
+    recon = np.zeros((i1, i2, i3, N_CLASSES), np.float32)
+    for patch, (i, k, v), _ in seq.get_patches_from(pair, 0):
+        pred = np.asarray(predict_fn(np.asarray(patch)[None])[0])
+        recon[i:i + d, k:k + d, v:v + d] += pred[
+            : min(d, i1 - i), : min(d, i2 - k), : min(d, i3 - v)]
+    expected = recon / np.maximum(recon.sum(-1, keepdims=True), 1e-8)
+
+    np.testing.assert_allclose(probs, expected, rtol=1e-5, atol=1e-6)
+    assert cls.dtype == np.uint8
+    np.testing.assert_array_equal(cls, probs.argmax(-1))
+
+
+def test_pred_3d_iso_want_argmax_matches(label_image):
+    pair, lab = label_image
+    seq = get_sequence(
+        _wrap_queue(pair),
+        intrp_style="iso_live_3d", dim=16, batch_size=1,
+        n_classes=N_CLASSES, real_space_span=float(SIZE),
+        real_box_dim=14.0, noise_sd=0.0,
+        logger=ScreenLogger(False), no_log=True,
+    )
+    model = OneHotOracle()
+    predict_fn = jax.jit(lambda x: model.apply({"params": {}}, x))
+    np.random.seed(5)
+    vol = pred_3D_iso(predict_fn, seq, pair, extra_boxes=0,
+                      min_coverage=0.9)
+    np.random.seed(5)
+    cls = pred_3D_iso(predict_fn, seq, pair, extra_boxes=0,
+                      min_coverage=0.9, want_argmax=True)
+    assert cls.dtype == np.uint8
+    np.testing.assert_array_equal(cls, vol.argmax(-1))
+
+
 def test_sharded_multichip_predict_matches_sequential(label_image):
     """View-parallel inference over the 8-device mesh must equal the
     single-device sequential result exactly (same math, psum fusion)."""
