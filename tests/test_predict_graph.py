@@ -413,6 +413,46 @@ def test_predict_3d_patches_device_matches_host_loop(label_image):
     np.testing.assert_array_equal(cls, probs.argmax(-1))
 
 
+def test_pred_3d_iso_scan_matches_per_box_loop(label_image):
+    """The scanned box megagraph must reproduce the per-box dispatch loop
+    it replaced (sample -> predict -> scatter, same f32 add order)."""
+    from multiplanarunet_tpu.ops.interp import scatter_box_pred
+
+    pair, lab = label_image
+    seq = get_sequence(
+        _wrap_queue(pair),
+        intrp_style="iso_live_3d", dim=16, batch_size=1,
+        n_classes=N_CLASSES, real_space_span=float(SIZE),
+        real_box_dim=14.0, noise_sd=0.0,
+        logger=ScreenLogger(False), no_log=True,
+    )
+    model = OneHotOracle()
+    predict_fn = jax.jit(lambda x: model.apply({"params": {}}, x))
+    np.random.seed(11)
+    vol = pred_3D_iso(predict_fn, seq, pair, extra_boxes=3)
+
+    # Oracle: the per-box host dispatch loop (public generators)
+    sampler = pair.interpolator
+    true_shape = tuple(int(s) for s in pair.shape[:3])
+    expected = jnp.zeros(true_shape + (N_CLASSES,), jnp.float32)
+    np.random.seed(11)
+    boxes = [(im, corner, inv_rot) for im, corner, _, inv_rot, _ in
+             seq.get_base_patches_from(pair, return_y=False)]
+    boxes += [(im, corner, inv_rot) for im, corner, _, inv_rot in
+              seq.get_N_random_patches_from(pair, 3)]
+    for im, corner, inv_rot in boxes:
+        probs = predict_fn(im[None])[0]
+        expected = scatter_box_pred(
+            expected, probs, jnp.asarray(corner),
+            jnp.asarray(np.float32(seq.real_box_dim)),
+            jnp.asarray(inv_rot), sampler.device_rot(),
+            jnp.asarray(sampler.origin), jnp.asarray(sampler.spacing),
+            seq.sample_dim, jnp.asarray(true_shape, jnp.float32),
+        )
+    np.testing.assert_allclose(vol, np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pred_3d_iso_want_argmax_matches(label_image):
     pair, lab = label_image
     seq = get_sequence(
