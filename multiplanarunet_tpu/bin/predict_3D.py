@@ -132,30 +132,34 @@ def entry_func(args=None):
     image_ids = sorted(loader.id_to_image)
     results, detailed = lr.init_result_dict_3D(image_ids, n_classes)
     nii_dir = os.path.join(out_dir, "nii_files")
-    for image_id in image_ids:
-        image = loader.get_by_id(image_id)
-        with image.loaded_in_context():
-            logger(f"\n--- Predicting on {image_id} ---")
-            # want_argmax: only the uint8 class map crosses device->host
-            # (the full float32 softmax volume is n_classes*4 x larger —
-            # the dominant cost on remote-device transports)
-            if iso_mode:
-                pred_cls = pred_3D_iso(predict_fn, seq, image,
-                                       extra_boxes=args.extra_boxes,
-                                       min_coverage=args.min_coverage,
-                                       logger=logger, want_argmax=True)
-            else:
-                pred_cls = predict_3D_patches(predict_fn, seq, image,
-                                              n_extra=args.N_extra_patches,
-                                              n_classes=n_classes,
-                                              logger=logger,
-                                              want_argmax=True)
+
+    # Cohort pipeline (same shape as `mp predict`): an input IO thread
+    # decodes + device-stages image i+1 (pure transfer — kernel dispatch
+    # stays on this thread; the remote transport is not dispatch-thread-
+    # safe) and an output thread evaluates + gzip-saves image i-1, both
+    # overlapped with device inference of image i.
+    from concurrent.futures import ThreadPoolExecutor
+
+    io_pool = ThreadPoolExecutor(max_workers=1)
+    out_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _preload(idx):
+        if idx >= len(image_ids):
+            return None
+        img = loader.get_by_id(image_ids[idx])
+        img.load()
+        img.interpolator.device_volume()  # prestage the scaled volume
+        return img
+
+    def _finalize(image, pred_cls):
+        image_id = image.identifier
+        try:
             if not args.no_eval and image.labels is not None:
                 dices = dice_all(image.labels, pred_cls,
                                  n_classes=n_classes, ignore_zero=True)
                 detailed[image_id] = dices
                 results[image_id] = [float(np.nanmean(dices))]
-                logger(f"Mean dice: {np.nanmean(dices):.4f} "
+                logger(f"[{image_id}] Mean dice: {np.nanmean(dices):.4f} "
                        f"(per-class {np.round(dices, 4)})")
             img_out = Path(nii_dir) / image_id
             img_out.mkdir(parents=True, exist_ok=True)
@@ -168,6 +172,50 @@ def entry_func(args=None):
                     nifti.save(image.labels.astype(np.uint8),
                                img_out / "LABELS.nii.gz",
                                affine=image.affine)
+        finally:
+            image.unload()
+
+    next_future = io_pool.submit(_preload, 0)
+    out_future = None
+    try:
+        for i, image_id in enumerate(image_ids):
+            image = next_future.result()
+            next_future = io_pool.submit(_preload, i + 1)
+            try:
+                if out_future is not None:
+                    pending_out, out_future = out_future, None
+                    pending_out.result()  # surface eval/save errors promptly
+                logger(f"\n--- Predicting on {image_id} ---")
+                # want_argmax: only the uint8 class map crosses device->
+                # host (the full float32 softmax volume is n_classes*4 x
+                # larger — the dominant cost on remote transports)
+                if iso_mode:
+                    pred_cls = pred_3D_iso(predict_fn, seq, image,
+                                           extra_boxes=args.extra_boxes,
+                                           min_coverage=args.min_coverage,
+                                           logger=logger, want_argmax=True)
+                else:
+                    pred_cls = predict_3D_patches(
+                        predict_fn, seq, image,
+                        n_extra=args.N_extra_patches, n_classes=n_classes,
+                        logger=logger, want_argmax=True)
+                out_future = out_pool.submit(_finalize, image, pred_cls)
+            except BaseException:
+                image.unload()
+                raise
+        if out_future is not None:
+            out_future.result()
+    finally:
+        # Drain the in-flight preload so an aborted run does not leak its
+        # staged host+device volume
+        try:
+            pending = next_future.result(timeout=300)
+            if pending is not None:
+                pending.unload()
+        except Exception:
+            pass
+        io_pool.shutdown(wait=False)
+        out_pool.shutdown(wait=True)
     if not args.no_eval:
         lr.save_all_3D(results, detailed, out_dir)
     logger("3D prediction complete.")
