@@ -169,12 +169,15 @@ class ValDiceScores(Callback):
         self.logger = logger
 
     def eval(self):
+        import jax.numpy as jnp
+
         from multiplanarunet_tpu.evaluate.metrics import dice_all
 
         preds = []
         for i in range(0, len(self.X_val), self.batch_size):
             out = self.trainer.predict_batch(self.X_val[i:i + self.batch_size])
-            preds.append(np.argmax(np.asarray(out), -1))
+            # argmax on device: fetch class ids, not the full softmax
+            preds.append(np.asarray(jnp.argmax(out, -1)))
         pred = np.concatenate(preds)
         dices = dice_all(
             np.asarray(self.y_val).squeeze(), pred,

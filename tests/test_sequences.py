@@ -237,6 +237,24 @@ def test_fused_finish_matches_sequential(toy_queue):
         np.testing.assert_allclose(wf, ws, atol=0)
 
 
+def test_pooled_discards_stale_batch_sizes_after_backoff(toy_queue):
+    """In-flight lookahead batches started BEFORE an OOM batch-size backoff
+    must be discarded, not finished at their stale (oversized) batch size —
+    otherwise the first retry step re-OOMs and the backoff overshoots."""
+    seq = _make_seq(toy_queue, fg_batch_fraction=1.0)
+    seq.sampler_lookahead = 2
+    X, y, w = seq[0]
+    assert len(seq._pending_batches) == 2
+    stale = [id(st) for st in seq._pending_batches]
+    old_bs = seq.batch_size
+    seq.batch_size = old_bs - 2  # what Trainer.fit's OOM backoff does
+    X2, y2, w2 = seq[1]
+    assert X2.shape[0] == old_bs - 2
+    assert all(id(st) not in stale for st in seq._pending_batches)
+    assert all(len(st["slots"]) == old_bs - 2
+               for st in seq._pending_batches)
+
+
 def test_pool_slot_reuse(toy_queue):
     seq = _make_seq(toy_queue)
     seq[0]
