@@ -98,6 +98,13 @@ def entry_func(args=None):
         compute_now=False,
     )
 
+    # Multi-host: join the process group BEFORE the first JAX computation
+    # (no-op single-process; images are independent work items — spread a
+    # cohort over hosts with cv_experiment-style splitting)
+    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(logger=logger)
+
     # Model
     model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
     weights = get_best_model(Path(project_dir) / "model")

@@ -189,6 +189,13 @@ def entry_func(args=None):
         raise RuntimeError(f"{fusion_out} exists; pass --overwrite or "
                            f"--continue_training")
 
+    # Multi-host: join the process group BEFORE the first JAX computation
+    # (no-op single-process; model_initializer below initializes the
+    # backend, after which jax.distributed refuses to start)
+    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(logger=logger)
+
     # Unet with best weights
     model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
     params, batch_stats, _ = ckpt.load_weights(weights_path)
