@@ -54,8 +54,13 @@ def _candidate_label_boxes(labels_vol, origin, spacing, rot, corners,
 
 class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
     def __init__(self, image_pair_queue, real_box_dim, no_log=False, **kwargs):
+        import os
+
         super().__init__(image_pair_queue, **kwargs)
         self.real_box_dim = float(real_box_dim)
+        # In-flight pipelined batches (shared _getitem_pooled)
+        self.sampler_lookahead = int(
+            os.environ.get("MP_SAMPLER_LOOKAHEAD", "1"))
         self.batch_shape = (self.batch_size,) + (self.sample_dim,) * 3 + (
             self.n_classes,)
         if not no_log:
@@ -108,7 +113,24 @@ class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
         )
         return im, labs[j], has_fg_vec, has_fg_count
 
-    def _getitem_pooled(self, idx):
+    def _dispatch_box_candidates(self, labels_ref, slot_arr, params,
+                                 corners, rots):
+        """Dispatch one candidate-box kernel (ASYNC — device arrays out,
+        no host sync)."""
+        return _pool_candidate_boxes(
+            labels_ref, jnp.asarray(slot_arr),
+            jnp.asarray(params["origins"]), jnp.asarray(params["spacings"]),
+            jnp.asarray(params["rots"]), jnp.asarray(corners),
+            jnp.asarray(rots), self.real_box_dim, self.sample_dim,
+            jnp.asarray(params["bg_classes"]), self.n_classes,
+            jnp.asarray(params["valid_shapes"]),
+        )
+
+    def _start_pooled_batch(self):
+        """Draw one batch's randomness, stage its images and DISPATCH its
+        depth-0 candidate kernel, without any host sync (mirror of the 2D
+        plane sampler's start; candidate corners are image-dependent so the
+        draws happen inside the per-image loop)."""
         from multiplanarunet_tpu.sequences.multi_planar import (
             IsotrophicLiveViewSequence2D,
         )
@@ -116,52 +138,97 @@ class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
         pool = IsotrophicLiveViewSequence2D._get_pool(self)
         B, K = self.batch_size, MAX_TRIES
         slots, weights = [], []
-        draws_corners = np.empty((B * K, 3), np.float32)
-        draws_rots = np.empty((B * K, 3, 3), np.float32)
+        corners = np.empty((B, K, 3), np.float32)
+        rots = np.empty((B, K, 3, 3), np.float32)
         for b in range(B):
             with self.image_pair_queue.get_random_image() as image:
                 slots.append(pool.ensure(image))
                 weights.append(image.sample_weight)
                 c, r = self._draw_candidates(image)
-                draws_corners[b * K:(b + 1) * K] = c
-                draws_rots[b * K:(b + 1) * K] = r
-        rep_slots = np.repeat(np.asarray(slots, np.int32), K)
-        params = pool.params_for(rep_slots)
+                corners[b], rots[b] = c, r
+        slots = np.asarray(slots, np.int32)
+        params = pool.params_for(slots)
+        labs0, pres0 = self._dispatch_box_candidates(
+            pool.labels, slots, params, corners[:, 0], rots[:, 0])
+        return dict(volumes=pool.volumes, labels=pool.labels, slots=slots,
+                    params=params, weights=weights, corners=corners,
+                    rots=rots, labs0=labs0, pres0=pres0, B=B, K=K)
 
-        labs, presence = _pool_candidate_boxes(
-            pool.labels, jnp.asarray(rep_slots),
-            jnp.asarray(params["origins"]), jnp.asarray(params["spacings"]),
-            jnp.asarray(params["rots"]), jnp.asarray(draws_corners),
-            jnp.asarray(draws_rots), self.real_box_dim, self.sample_dim,
-            jnp.asarray(params["bg_classes"]), self.n_classes,
-            jnp.asarray(params["valid_shapes"]),
-        )
-        presence_np = np.asarray(presence).reshape(B, K, self.n_classes)
+    def _finish_pooled_batch(self, st):
+        """Two-phase candidate fetch, exactly like the 2D sampler
+        (`multi_planar.py:_finish_pooled_batch`): only rows whose FIRST
+        candidate misses the fg bar can ever be rejected by
+        `_accepts_candidate`, so candidates 1..K-1 are sampled only for
+        those rows — cutting the (B*K, d^3) label gather to ~(B, d^3) in
+        the common case; the depth-0 presence fetch was dispatched one
+        batch ago (lookahead in the shared `_getitem_pooled`)."""
+        B, K = st["B"], st["K"]
+        slots, params = st["slots"], st["params"]
+        corners, rots, labs0 = st["corners"], st["rots"], st["labs0"]
+        pres0 = np.asarray(st["pres0"])
+        fg = pres0[:, self.fg_classes]
+        maybe_rejected = ~fg.all(1) if self.force_all_fg else ~fg.any(1)
+        S = np.nonzero(maybe_rejected)[0]
+        labs_rest = None
+        pres_rest = np.zeros((0, K - 1, self.n_classes), bool)
+        s_pos = np.full(B, -1, np.int64)
+        if len(S) and K > 1:
+            # pad the row count to a power of two: bounded compile shapes
+            pad = 1 << int(np.ceil(np.log2(len(S))))
+            S_pad = np.concatenate([S, np.repeat(S[:1], pad - len(S))])
+            rep = np.repeat(S_pad, K - 1)
+            rep_params = {k: v[rep] for k, v in params.items()}
+            labs_rest, pres_rest = self._dispatch_box_candidates(
+                st["labels"], slots[rep], rep_params,
+                corners[S_pad, 1:].reshape(-1, 3),
+                rots[S_pad, 1:].reshape(-1, 3, 3))
+            pres_rest = np.asarray(pres_rest).reshape(pad, K - 1,
+                                                      self.n_classes)
+            s_pos[S] = np.arange(len(S))
+
+        # Sequential accept/retry over the batch (reference statistics)
         has_fg_count = 0
         has_fg_vec = np.zeros(len(self.fg_classes), bool)
-        chosen = np.empty(B, np.int64)
+        chosen_t = np.empty(B, np.int64)
         for b in range(B):
-            j, has_fg_vec, has_fg_count = self.select_candidate(
-                presence_np[b], has_fg_vec, has_fg_count, b
-            )
-            chosen[b] = b * K + j
+            if s_pos[b] < 0:
+                accept, has_fg_vec, fg_change = self._accepts_candidate(
+                    pres0[b], 1, K == 1, has_fg_vec, has_fg_count, b)
+                assert accept  # by construction of `maybe_rejected`
+                has_fg_count += fg_change
+                chosen_t[b] = 0
+            else:
+                presence_b = np.concatenate(
+                    [pres0[b:b + 1], pres_rest[s_pos[b]]])
+                j, has_fg_vec, has_fg_count = self.select_candidate(
+                    presence_b, has_fg_vec, has_fg_count, b)
+                chosen_t[b] = j
 
-        chosen_params = pool.params_for(rep_slots[chosen])
+        chosen_corners = corners[np.arange(B), chosen_t]
+        chosen_rots = rots[np.arange(B), chosen_t]
+        if labs_rest is None:
+            sel_idx = np.arange(B)
+        else:
+            from0 = chosen_t == 0
+            sel_idx = np.where(
+                from0, np.arange(B),
+                len(labs0) + s_pos * (K - 1) + (chosen_t - 1))
         batch_x = sample_box_batch_pool(
-            pool.volumes, jnp.asarray(rep_slots[chosen]),
-            jnp.asarray(chosen_params["origins"]),
-            jnp.asarray(chosen_params["spacings"]),
-            jnp.asarray(chosen_params["rots"]),
-            jnp.asarray(draws_corners[chosen]),
-            jnp.asarray(draws_rots[chosen]),
+            st["volumes"], jnp.asarray(slots),
+            jnp.asarray(params["origins"]),
+            jnp.asarray(params["spacings"]),
+            jnp.asarray(params["rots"]),
+            jnp.asarray(chosen_corners), jnp.asarray(chosen_rots),
             self.real_box_dim, self.sample_dim,
-            jnp.asarray(chosen_params["fills"]),
-            valid_shapes=jnp.asarray(chosen_params["valid_shapes"]),
+            jnp.asarray(params["fills"]),
+            valid_shapes=jnp.asarray(params["valid_shapes"]),
         )
-        batch_y = labs[jnp.asarray(chosen)]
-        batch_w = np.asarray(weights, np.float32)
+        batch_y = jnp.concatenate(
+            [labs0] + ([labs_rest] if labs_rest is not None else []), 0
+        )[jnp.asarray(sel_idx)]
+        batch_w = np.asarray(st["weights"], np.float32)
         batch_x, batch_y, batch_w = self.augment(
-            batch_x, batch_y, batch_w, chosen_params["fills"]
+            batch_x, batch_y, batch_w, params["fills"]
         )
         return self.prepare_batches(batch_x, batch_y, batch_w)
 

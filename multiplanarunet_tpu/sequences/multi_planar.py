@@ -204,6 +204,35 @@ class IsotrophicLiveViewSequence(BaseSequence):
             batch_y = batch_y[..., None]
         return batch_x, batch_y, batch_w
 
+    def _getitem_pooled(self, idx):
+        """Software-pipelined batches: finish the OLDEST started batch after
+        topping the in-flight queue up to `sampler_lookahead` — the candidate
+        round-trip (the sampler's only unavoidable host sync) then rides
+        `lookahead` batches behind dispatch, hidden under the training steps
+        in between. Depth 1 = classic double buffering; on a high-latency
+        dispatch transport (remote TPU tunnel, ~10-20 ms/RPC) deeper
+        lookahead keeps the presence fetch always-ready. Each started state
+        is self-contained (captures its pool arrays, batch size and
+        randomness), so in-flight batches survive pool eviction; states
+        whose captured batch size no longer matches (OOM backoff shrank
+        self.batch_size between start and finish) are discarded, so the
+        first retry step does not re-OOM on a stale oversized batch.
+
+        Shared by the 2D (plane) and 3D (box) samplers — each implements
+        its own `_start_pooled_batch` / `_finish_pooled_batch` pair."""
+        from collections import deque
+
+        q = getattr(self, "_pending_batches", None)
+        if q is None:
+            q = self._pending_batches = deque()
+        if any(len(st["slots"]) != self.batch_size for st in q):
+            q = self._pending_batches = deque(
+                st for st in q if len(st["slots"]) == self.batch_size)
+        depth = max(1, int(getattr(self, "sampler_lookahead", 1)))
+        while len(q) <= depth:
+            q.append(self._start_pooled_batch())
+        return self._finish_pooled_batch(q.popleft())
+
 
 class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
     """Training batches of oblique 2D slices + inference plane stacks."""
@@ -442,32 +471,6 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         batch_x, batch_y, batch_w = self.augment(batch_x, batch_y, batch_w,
                                                  bgs)
         return self.prepare_batches(batch_x, batch_y, batch_w)
-
-    def _getitem_pooled(self, idx):
-        """Software-pipelined batches: finish the OLDEST started batch after
-        topping the in-flight queue up to `sampler_lookahead` — the candidate
-        round-trip (the sampler's only unavoidable host sync) then rides
-        `lookahead` batches behind dispatch, hidden under the training steps
-        in between. Depth 1 = classic double buffering; on a high-latency
-        dispatch transport (remote TPU tunnel, ~10-20 ms/RPC) deeper
-        lookahead keeps the presence fetch always-ready. Each started state
-        is self-contained (captures its pool arrays, batch size and
-        randomness), so in-flight batches survive pool eviction; states
-        whose captured batch size no longer matches (OOM backoff shrank
-        self.batch_size between start and finish) are discarded, so the
-        first retry step does not re-OOM on a stale oversized batch."""
-        from collections import deque
-
-        q = getattr(self, "_pending_batches", None)
-        if q is None:
-            q = self._pending_batches = deque()
-        if any(len(st["slots"]) != self.batch_size for st in q):
-            q = self._pending_batches = deque(
-                st for st in q if len(st["slots"]) == self.batch_size)
-        depth = max(1, int(getattr(self, "sampler_lookahead", 1)))
-        while len(q) <= depth:
-            q.append(self._start_pooled_batch())
-        return self._finish_pooled_batch(q.popleft())
 
     # ------------------------------------------------------------- training
     def _sample_slice_from(self, image, has_fg_vec, has_fg_count, cur_bs):

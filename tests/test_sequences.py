@@ -111,6 +111,39 @@ def test_iso3d_batch(toy_queue):
     assert im.shape == (16, 16, 16, 1) and total == 8
 
 
+def test_iso3d_pooled_and_per_image_paths_agree(toy_queue):
+    """The 3D two-phase pooled sampler must satisfy the same batch contract
+    (shapes, dtypes, label validity, fg quota) as the per-image path, and
+    keep `sampler_lookahead` batches in flight."""
+
+    def make():
+        return get_sequence(
+            toy_queue, intrp_style="iso_live_3d", dim=16, batch_size=4,
+            n_classes=4, real_space_span=30.0, real_box_dim=20.0,
+            noise_sd=0.0, fg_batch_fraction=1.0,
+            logger=ScreenLogger(False), no_log=True,
+        )
+
+    seq_pool = make()
+    seq_pool.sampler_lookahead = 2
+    assert getattr(seq_pool, "use_pool", True)
+    for i in range(3):
+        Xp, yp, wp = seq_pool[i]
+        labs = np.asarray(yp)
+        assert Xp.shape == (4, 16, 16, 16, 1)
+        assert labs.min() >= 0 and labs.max() <= 3
+        assert sum(int((el > 0).any()) for el in labs) >= 3
+    assert len(seq_pool._pending_batches) == 2
+
+    seq_plain = make()
+    seq_plain.use_pool = False
+    Xs, ys, ws = seq_plain[0]
+    assert Xs.shape == Xp.shape and ys.shape == yp.shape
+    labs = np.asarray(ys)
+    assert labs.min() >= 0 and labs.max() <= 3
+    assert sum(int((el > 0).any()) for el in labs) >= 3
+
+
 def test_patches_3d(toy_queue):
     seq = get_sequence(
         toy_queue, intrp_style="patches_3d", dim=16, batch_size=2,
