@@ -20,9 +20,10 @@ run() {
 # 0. Window probe: absolute transport bandwidth for context
 run python benchmarks/transport_probe.py
 
-# 1. Headline + sub-pixel decoder A/B (pending from VALIDATION 25)
-MP_BENCH_SUBPIXEL=0 run python bench.py 256
-MP_BENCH_SUBPIXEL=1 run python bench.py 256
+# 1. Headline + sub-pixel decoder A/B (pending from VALIDATION 25).
+# `env VAR=...` goes through run()'s "$*" so the log header names the arm.
+run env MP_BENCH_SUBPIXEL=0 python bench.py 256
+run env MP_BENCH_SUBPIXEL=1 python bench.py 256
 
 # 2. Validation-epoch dispatch A/B (pending from VALIDATION 26)
 run python benchmarks/validation_epoch_probe.py 16 128 25

@@ -189,9 +189,6 @@ def entry_func(args=None):
             image = next_future.result()
             next_future = io_pool.submit(_preload, i + 1)
             try:
-                if out_future is not None:
-                    pending_out, out_future = out_future, None
-                    pending_out.result()  # surface eval/save errors promptly
                 logger(f"\n--- Predicting on {image_id} ---")
                 # want_argmax: only the uint8 class map crosses device->
                 # host (the full float32 softmax volume is n_classes*4 x
@@ -206,6 +203,13 @@ def entry_func(args=None):
                         predict_fn, seq, image,
                         n_extra=args.N_extra_patches, n_classes=n_classes,
                         logger=logger, want_argmax=True)
+                if out_future is not None:
+                    # Join finalize(i-1) only AFTER predicting image i, so
+                    # its dice_all + gzip save overlapped this inference;
+                    # joining here still bounds in-flight finalizes to one
+                    # and surfaces eval/save errors promptly
+                    pending_out, out_future = out_future, None
+                    pending_out.result()
                 out_future = out_pool.submit(_finalize, image, pred_cls)
             except BaseException:
                 image.unload()

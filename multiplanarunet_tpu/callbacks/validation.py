@@ -169,15 +169,19 @@ class ValDiceScores(Callback):
         self.logger = logger
 
     def eval(self):
+        import jax
         import jax.numpy as jnp
 
         from multiplanarunet_tpu.evaluate.metrics import dice_all
 
+        if getattr(self, "_argmax_fn", None) is None:
+            # Jitted (one dispatch, cached per shape): fetch class ids, not
+            # the full softmax, without a per-batch eager argmax RPC
+            self._argmax_fn = jax.jit(lambda o: jnp.argmax(o, -1))
         preds = []
         for i in range(0, len(self.X_val), self.batch_size):
             out = self.trainer.predict_batch(self.X_val[i:i + self.batch_size])
-            # argmax on device: fetch class ids, not the full softmax
-            preds.append(np.asarray(jnp.argmax(out, -1)))
+            preds.append(np.asarray(self._argmax_fn(out)))
         pred = np.concatenate(preds)
         dices = dice_all(
             np.asarray(self.y_val).squeeze(), pred,

@@ -54,13 +54,8 @@ def _candidate_label_boxes(labels_vol, origin, spacing, rot, corners,
 
 class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
     def __init__(self, image_pair_queue, real_box_dim, no_log=False, **kwargs):
-        import os
-
         super().__init__(image_pair_queue, **kwargs)
         self.real_box_dim = float(real_box_dim)
-        # In-flight pipelined batches (shared _getitem_pooled)
-        self.sampler_lookahead = int(
-            os.environ.get("MP_SAMPLER_LOOKAHEAD", "1"))
         self.batch_shape = (self.batch_size,) + (self.sample_dim,) * 3 + (
             self.n_classes,)
         if not no_log:

@@ -130,6 +130,10 @@ class IsotrophicLiveViewSequence(BaseSequence):
             self.fg_classes = np.array([1])
         self.label_crop = (np.array([[0, 0], [0, 0]])
                            if label_crop is None else np.asarray(label_crop))
+        # In-flight pipelined batches (see _getitem_pooled); overridable via
+        # env for transport-latency tuning without touching hparams.
+        self.sampler_lookahead = int(
+            os.environ.get("MP_SAMPLER_LOOKAHEAD", "1"))
 
     # ------------------------------------------------------------ fg quotas
     @property
@@ -242,10 +246,6 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         self.views = np.asarray(views)
         self.batch_shape = (self.batch_size, self.sample_dim,
                             self.sample_dim, self.n_classes)
-        # In-flight pipelined batches (see _getitem_pooled); overridable via
-        # env for transport-latency tuning without touching hparams.
-        self.sampler_lookahead = int(
-            os.environ.get("MP_SAMPLER_LOOKAHEAD", "1"))
         if not no_log:
             self.log()
 

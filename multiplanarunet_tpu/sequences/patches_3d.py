@@ -164,9 +164,3 @@ class SlidingPatchSequence3D(PatchSequence3D):
 
     def base_corners(self, image):
         return self.corners_for(image.image.shape)
-
-    def get_base_patches(self, image):
-        X = image.image
-        for p in self.base_corners(image):
-            patch = self._cut(X, p)
-            yield image.scaler.transform(patch), tuple(int(v) for v in p)
