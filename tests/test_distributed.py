@@ -203,6 +203,34 @@ def test_replicas_stay_identical(two_process_results):
     assert r0["checksum"] == r1["checksum"]
 
 
+def test_explicit_multiprocess_init_after_backend_raises():
+    """An EXPLICIT multi-process config must fail LOUDLY when the JAX
+    backend was already initialized (silent fallback would run every
+    process standalone — the bug class the predict entry point had)."""
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+float(jnp.sum(jnp.ones(4)))  # initialize the backend
+from multiplanarunet_tpu.parallel.distributed import initialize_distributed
+try:
+    initialize_distributed("localhost:59999", 2, 0)
+except RuntimeError as e:
+    print("RAISED", str(e)[:60])
+else:
+    print("NO_RAISE")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH", ""), str(REPO)) if p)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=240)
+    assert "RAISED" in out.stdout, (out.stdout, out.stderr[-1500:])
+
+
 def test_multihost_validation_matches_single_process(two_process_results):
     """The Validation callback running across 2 processes (local batch 3,
     per-process pad + mask) must reproduce the single-process numbers for
