@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from multiplanarunet_tpu.logging import ScreenLogger
-from multiplanarunet_tpu.ops.geometry import mgrid_to_points
 from multiplanarunet_tpu.sequences.base_sequence import BaseSequence
 
 
