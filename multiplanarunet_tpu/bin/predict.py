@@ -218,6 +218,10 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
                         n_planes=args.n_planes, return_per_view=evaluate,
                         return_probs=args.no_argmax,
                         defer_fetch=not evaluate and not args.no_argmax,
+                        # Per-view dice from on-device confusion counts:
+                        # only (3, n_classes) scalars cross device->host
+                        # per view, never the per-view class maps
+                        eval_labels=image.labels if evaluate else None,
                     )
                 if not evaluate and not args.no_argmax:
                     out_future = out_pool.submit(_finalize, image, fused)
@@ -225,11 +229,14 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
                 fused_cls = (fused.argmax(-1).astype(np.uint8)
                              if args.no_argmax else fused)
                 if evaluate:
+                    from multiplanarunet_tpu.evaluate.metrics import (
+                        dice_from_counts,
+                    )
+
                     labels = image.labels
                     for v, view in enumerate(views):
-                        dices = dice_all(labels, per_view[v],
-                                         n_classes=n_classes,
-                                         ignore_zero=True)
+                        dices = dice_from_counts(per_view[v],
+                                                 ignore_zero=True)
                         pc_results[str(view)][image_id] = dices
                         results.loc[image_id, str(view)] = np.nanmean(dices)
                         logger(f"View {v}: mean dice {np.nanmean(dices):.4f}")

@@ -43,6 +43,22 @@ def dice_all(y_true, y_pred, smooth=1.0, n_classes=None, ignore_zero=True,
     return out
 
 
+def dice_from_counts(counts, smooth=1.0, ignore_zero=True):
+    """Per-class dice from a (3, C) confusion-count matrix (tp, rel=|y==c|,
+    sel=|pred==c|) — identical formula and NaN semantics to `dice_all` on
+    the full masks (classes absent from BOTH masks -> NaN), but computable
+    from device-side counts without fetching any class map."""
+    tp, rel, sel = np.asarray(counts, np.float64)
+    out = np.full(tp.shape, np.nan, np.float32)
+    present = (rel + sel) > 0
+    out[present] = (smooth + 2.0 * tp[present]) / (
+        smooth + rel[present] + sel[present]
+    )
+    if ignore_zero:
+        out = out[1:]
+    return out
+
+
 def class_wise_kappa(true, pred, n_classes=None, ignore_zero=True):
     from sklearn.metrics import cohen_kappa_score
 

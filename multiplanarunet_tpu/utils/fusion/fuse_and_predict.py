@@ -91,6 +91,30 @@ def _unpack_class_map(packed, true_shape):
     return out[: true_shape[0], : true_shape[1], : true_shape[2]]
 
 
+@partial(jax.jit, static_argnames=("n_classes", "packed", "true_shape"))
+def _class_map_counts(cls_dev, labels, n_classes, packed, true_shape):
+    """Per-class (tp, rel, sel) confusion counts of a (possibly nibble-
+    packed) device class map against uint8 device labels, cropped to
+    true_shape. int32 sums — exact; the (3, C) result is the ONLY thing
+    fetched, replacing a full per-view class-map transfer when predict
+    evaluates against labels."""
+    if packed:
+        X, Y, Zh = cls_dev.shape
+        cls = jnp.stack([cls_dev & 0x0F, cls_dev >> 4],
+                        axis=-1).reshape(X, Y, 2 * Zh)
+    else:
+        cls = cls_dev
+    cls = cls[: true_shape[0], : true_shape[1], : true_shape[2]]
+    tp, rel, sel = [], [], []
+    for c in range(n_classes):
+        s1 = labels == c
+        s2 = cls == c
+        tp.append(jnp.sum(s1 & s2, dtype=jnp.int32))
+        rel.append(jnp.sum(s1, dtype=jnp.int32))
+        sel.append(jnp.sum(s2, dtype=jnp.int32))
+    return jnp.stack([jnp.stack(tp), jnp.stack(rel), jnp.stack(sel)])
+
+
 def _plan_stage_bytes(plan, n_channels, bytes_per=2):
     """Largest intermediate stage of a ShearPlan in bytes (bf16 passes by
     default, +1 for the validity channel). Float math — degenerate plans
@@ -611,7 +635,7 @@ class MultiViewPredictor:
             quantize=self.stage_dtype == "u8")
 
     def _run_shear(self, image, views, shear_fns, W, return_per_view,
-                   true_shape):
+                   true_shape, labels_dev=None):
         sampler = image.interpolator
         volume = self._stage_unpacked(sampler)
         out_shape = tuple(int(s) for s in volume.shape[:3])
@@ -631,7 +655,8 @@ class MultiViewPredictor:
                 self.logger(f"Views 1-{len(shear_fns)}: fused multi-view "
                             f"graph (shear)")
             accum, sides = mega(self.variables, volume, jnp.asarray(ws))
-            per_view = ([self._fetch_class_map(s, out_shape, true_shape)
+            per_view = ([self._per_view_result(s, out_shape, true_shape,
+                                               labels_dev)
                          for s in sides] if return_per_view else None)
             return accum, per_view
         accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
@@ -653,8 +678,8 @@ class MultiViewPredictor:
                 np.asarray(accum[:1, :1, :1, 0])  # real sync (the remote
                 # transport's block_until_ready can return early)
             if return_per_view:
-                per_view.append(self._fetch_class_map(argmax_v, out_shape,
-                                                      true_shape))
+                per_view.append(self._per_view_result(
+                    argmax_v, out_shape, true_shape, labels_dev))
         return accum, per_view
 
     def _fetch_class_map(self, cls_dev, out_shape, true_shape):
@@ -664,6 +689,26 @@ class MultiViewPredictor:
         return np.asarray(
             cls_dev[: true_shape[0], : true_shape[1], : true_shape[2]]
         )
+
+    def _per_view_result(self, argmax_v, out_shape, true_shape, labels_dev):
+        """Per-view eval result: the fetched class map, or — when device
+        labels were staged (`predict_image(eval_labels=...)`) — the (3, C)
+        on-device confusion counts, fetched lazily by the caller. The
+        counts replace a full class-map device->host transfer per view."""
+        if labels_dev is None:
+            return self._fetch_class_map(argmax_v, out_shape, true_shape)
+        packed = self.n_classes <= 16 and out_shape[2] % 2 == 0
+        return _class_map_counts(argmax_v, labels_dev, self.n_classes,
+                                 packed, true_shape)
+
+    @staticmethod
+    def _stage_eval_labels(eval_labels):
+        if eval_labels is None:
+            return None
+        lab = np.asarray(eval_labels)
+        if lab.ndim == 4:
+            lab = lab[..., 0]
+        return jnp.asarray(lab.astype(np.uint8))
 
     # -------------------------------------------------------------- running
     def _prepare_offsets(self, image, n_planes):
@@ -786,7 +831,8 @@ class MultiViewPredictor:
 
     def predict_image(self, image, views, fusion_params=None,
                       n_planes="same+20", return_per_view=True,
-                      return_probs=False, defer_fetch=False):
+                      return_probs=False, defer_fetch=False,
+                      eval_labels=None):
         """Run all views over one ImagePair and fuse.
 
         Returns (fused, per_view_argmax list of (X, Y, Z) uint8 arrays or
@@ -796,8 +842,14 @@ class MultiViewPredictor:
         defer_fetch=True, `fused` is a zero-arg callable that performs the
         device->host fetch when invoked — call it from an output IO thread
         to overlap the (slow remote-transport) result transfer with the
-        next image's inference."""
+        next image's inference. With eval_labels (host label volume), the
+        per_view list holds device-side (3, n_classes) confusion-count
+        arrays instead of class maps (tp/rel/sel vs the labels — feed
+        `evaluate.metrics.dice_from_counts`); only those tiny count
+        matrices ever cross device->host, not the per-view volumes."""
         sampler = image.interpolator
+        labels_dev = (self._stage_eval_labels(eval_labels)
+                      if return_per_view else None)
         true_shape = tuple(int(s) for s in image.shape[:3])
         offsets, n_valid = self._prepare_offsets(image, n_planes)
         bucket = (tuple(int(s) for s in sampler.padded_shape())
@@ -829,7 +881,8 @@ class MultiViewPredictor:
 
         if shear_fns is not None:
             accum, per_view = self._run_shear(
-                image, views, shear_fns, W, return_per_view, true_shape)
+                image, views, shear_fns, W, return_per_view, true_shape,
+                labels_dev=labels_dev)
             return (self._fuse_tail(accum, fusion_params, b, n_views,
                                     return_probs, true_shape,
                                     defer=defer_fetch), per_view)
@@ -883,8 +936,8 @@ class MultiViewPredictor:
                 jnp.asarray(Mts[v][0]), jnp.asarray(Mts[v][1]),
                 out_shape, n_valid,
             )
-            per_view.append(self._fetch_class_map(argmax_v, out_shape,
-                                                  true_shape))
+            per_view.append(self._per_view_result(
+                argmax_v, out_shape, true_shape, labels_dev))
 
         return (self._fuse_tail(accum, fusion_params, b, n_views,
                                 return_probs, true_shape,

@@ -122,6 +122,26 @@ def test_learned_fusion_weights_apply(label_image, resampler, thresh):
     assert (fused.argmax(-1) == lab)[interior].mean() > thresh
 
 
+@pytest.mark.parametrize("resampler", ["gather", "shear"])
+def test_eval_counts_match_fetched_map_dice(label_image, resampler):
+    """`predict_image(eval_labels=...)` must yield per-view dice identical
+    to fetching each class map and running dice_all on the host — the
+    counts path is a pure transfer optimization."""
+    from multiplanarunet_tpu.evaluate.metrics import dice_all, dice_from_counts
+
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(9))
+    pred = _predictor(resampler)
+    _, maps = pred.predict_image(pair, views, n_planes="same+20")
+    _, counts = pred.predict_image(pair, views, n_planes="same+20",
+                                   eval_labels=lab)
+    assert len(maps) == len(counts) == 3
+    for pv_map, pv_counts in zip(maps, counts):
+        want = dice_all(lab, pv_map, n_classes=N_CLASSES, ignore_zero=True)
+        got = dice_from_counts(pv_counts, ignore_zero=True)
+        np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+
 def test_scan_fast_path_matches_per_view_loop(label_image):
     """The single-dispatch view-scan graph (return_per_view=False) must give
     the same fused argmax as the per-view loop, with and without learned
