@@ -37,6 +37,8 @@ from __future__ import annotations
 from collections import OrderedDict
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,6 +115,14 @@ def _class_map_counts(cls_dev, labels, n_classes, packed, true_shape):
         rel.append(jnp.sum(s1, dtype=jnp.int32))
         sel.append(jnp.sum(s2, dtype=jnp.int32))
     return jnp.stack([jnp.stack(tp), jnp.stack(rel), jnp.stack(sel)])
+
+
+def _big_bytes():
+    """Accumulator-size threshold above which predict drains the dispatch
+    queue per view (async dispatch allocates every queued program's outputs
+    eagerly). Env-overridable so tests can exercise the big-volume path on
+    tiny CPU volumes (MP_PREDICT_BIG_BYTES=1)."""
+    return float(os.environ.get("MP_PREDICT_BIG_BYTES", 1.5e9))
 
 
 def _plan_stage_bytes(plan, n_channels, bytes_per=2):
@@ -644,7 +654,7 @@ class MultiViewPredictor:
         # Async dispatch allocates every queued program's outputs eagerly;
         # at >= 512^3 six queued views' stacks+predictions alone exhaust
         # HBM (measured RESOURCE_EXHAUSTED), so drain the queue per view
-        big = float(np.prod(out_shape)) * self.n_classes * 4 > 1.5e9
+        big = float(np.prod(out_shape)) * self.n_classes * 4 > _big_bytes()
         if self.fuse_views and not big:
             mega = self._shear_mega_fn(shear_fns, out_shape,
                                        return_per_view)
@@ -661,7 +671,18 @@ class MultiViewPredictor:
             return accum, per_view
         accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
         per_view = [] if return_per_view else None
+        # Above the HBM threshold the queue must be drained (async dispatch
+        # allocates every queued program's outputs eagerly — six queued
+        # views exhausted 16 GB, measured). MP_VIEW_INFLIGHT bounds HOW MANY
+        # views may be in flight at once: 1 (default) serializes each view;
+        # 2 overlaps view v's remap tail with view v+1's stack + U-Net
+        # (~2x one view's intermediates resident — measure before raising).
+        inflight = max(1, int(os.environ.get("MP_VIEW_INFLIGHT", "1")))
+        pending = []
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
+            if big and len(pending) >= inflight:
+                np.asarray(pending.pop(0))  # real sync (the remote
+                # transport's block_until_ready can return early)
             if self.logger:
                 self.logger(f"View {v + 1}/{len(views)}: "
                             f"{np.round(views[v], 4)} (shear)")
@@ -675,8 +696,10 @@ class MultiViewPredictor:
                                        want_argmax=return_per_view)
             del pred
             if big:
-                np.asarray(accum[:1, :1, :1, 0])  # real sync (the remote
-                # transport's block_until_ready can return early)
+                # Queue a TINY sliced sentinel, not accum itself: pinning
+                # accum here would block the next remap's donation of it
+                # and double the f32 accumulator in HBM
+                pending.append(accum[:1, :1, :1, 0])
             if return_per_view:
                 per_view.append(self._per_view_result(
                     argmax_v, out_shape, true_shape, labels_dev))
@@ -1005,7 +1028,7 @@ class MultiViewPredictor:
         # device at >= 512^3 scale exhausts its HBM just like the single
         # chip path (see _run_shear's guard) — so before queueing another
         # chain on a device, drain its previous one with a tiny fetch.
-        big = float(np.prod(out_shape)) * self.n_classes * 4 > 1.5e9
+        big = float(np.prod(out_shape)) * self.n_classes * 4 > _big_bytes()
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
             d = v % n_use
             if big and v >= n_use:
@@ -1241,7 +1264,7 @@ class MultiViewPredictor:
             targets = targets[idx]
         # Async dispatch allocates every queued view program's outputs
         # eagerly (see _run_shear); drain per view on large volumes.
-        big = float(n_vox) * self.n_classes * 4 > 1.5e9
+        big = float(n_vox) * self.n_classes * 4 > _big_bytes()
         per_view = []
         for view in views:
             basis = geometry.plane_basis(view, noise_sd=0.0)

@@ -494,6 +494,34 @@ def test_pred_3d_iso_want_argmax_matches(label_image):
     np.testing.assert_array_equal(cls, vol.argmax(-1))
 
 
+def test_big_volume_drain_paths_match_fused(label_image, monkeypatch):
+    """The big-volume branches (per-view drain, MP_VIEW_INFLIGHT=2 overlap,
+    sharded per-device drain) must produce the exact same argmax maps as
+    the default fused graph. MP_PREDICT_BIG_BYTES=1 forces the big path on
+    tiny CPU volumes — this is the only coverage those branches get off
+    hardware."""
+    from multiplanarunet_tpu.parallel import get_mesh
+
+    pair, lab = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(21))
+    fused_ref, pv_ref = _predictor("shear").predict_image(pair, views)
+
+    monkeypatch.setenv("MP_PREDICT_BIG_BYTES", "1")
+    fused_big, pv_big = _predictor("shear").predict_image(pair, views)
+    np.testing.assert_array_equal(fused_big, fused_ref)
+    for a, b in zip(pv_big, pv_ref):
+        np.testing.assert_array_equal(a, b)
+
+    monkeypatch.setenv("MP_VIEW_INFLIGHT", "2")
+    fused_if2, _ = _predictor("shear").predict_image(
+        pair, views, return_per_view=False)
+    np.testing.assert_array_equal(fused_if2, fused_ref)
+
+    fused_shard = _predictor("shear").predict_image_sharded(
+        pair, views, get_mesh(), n_planes="same+20")
+    np.testing.assert_array_equal(fused_shard, fused_ref)
+
+
 def test_sharded_multichip_predict_matches_sequential(label_image):
     """View-parallel inference over the 8-device mesh must equal the
     single-device sequential result exactly (same math, psum fusion)."""
