@@ -32,8 +32,11 @@ run python benchmarks/validation_epoch_probe.py 16 128 25
 run python benchmarks/cohort_pipeline_probe.py 256 6 u8 serial,pipelined3
 
 if [ "${1:-}" != "quick" ]; then
-  # 4. 512^3 stress (channel-grouped shear remap)
-  run python bench.py 512
+  # 4. 512^3 stress (channel-grouped shear remap) + view-pipelining A/B
+  #    (MP_VIEW_INFLIGHT=2 overlaps view v's remap with view v+1's
+  #    stack+U-Net — HBM headroom + speedup pending hardware measurement)
+  run env MP_VIEW_INFLIGHT=1 python bench.py 512
+  run env MP_VIEW_INFLIGHT=2 python bench.py 512
   # 5. Training profile (sampler/step attribution)
   run python benchmarks/train_profile_probe.py 64 128 20
 fi
