@@ -68,7 +68,7 @@ def main():
     model = UNet(
         n_classes=n_classes, dim=size, n_channels=n_channels, depth=4,
         complexity_factor=2, dtype=__import__("jax.numpy", fromlist=["x"]).bfloat16,
-        subpixel_decoder=os.environ.get("MP_BENCH_SUBPIXEL", "1") != "0",
+        subpixel_decoder=os.environ.get("MP_BENCH_SUBPIXEL", "0") != "0",
     )
     log("initializing model...")
     variables = init_model_variables(model, rng=jax.random.PRNGKey(0))

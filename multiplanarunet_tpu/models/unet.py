@@ -166,7 +166,12 @@ class UNet(nn.Module):
     l2_reg: float | bool = False
     init_filters: int = 64
     dtype: jnp.dtype = jnp.float32
-    subpixel_decoder: bool = True
+    # Sub-pixel up-convs are numerically identical with the SAME param tree
+    # (VALIDATION 25) but measured ~3% SLOWER end-to-end on the v5e
+    # (16.11 vs 15.66 vol/min same-window A/B) despite ~7% fewer forward
+    # FLOPs — the parity pixel-shuffle's layout work outweighs the MAC
+    # saving at these shapes, so the naive upsample+conv is the default.
+    subpixel_decoder: bool = False
 
     @property
     def cf(self):

@@ -30,7 +30,10 @@ class UNet3D(nn.Module):
     l2_reg: float | bool = False
     init_filters: int = 64
     dtype: jnp.dtype = jnp.float32
-    subpixel_decoder: bool = True
+    # Default follows the 2D finding (models/unet.py): identical numerics,
+    # same param tree, but the pixel-shuffle variant measured slower on
+    # hardware — naive upsample+conv by default, flag kept for A/Bs.
+    subpixel_decoder: bool = False
 
     @property
     def cf(self):

@@ -217,6 +217,27 @@ def test_pallas_pass_impl_matches_take(method):
     np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_pallas_pass_single_tile_pipeline_warmup():
+    """Degenerate 1-grid-step passes: with total == 1 only the warm-up DMA
+    branch of the double-buffered window pipeline runs (the issue-next
+    branch is predicated off). Shapes <= 8 per axis make every elementary
+    pass a single (q, rc, t) tile."""
+    rng = np.random.RandomState(3)
+    src = rng.rand(7, 8, 6, 1).astype(np.float32)
+    N = _random_affine(rng)
+    c = np.array([3.0, 4.0, 3.0]) - N @ np.array([3.0, 3.5, 2.5])
+    plan = plan_affine_resample(N, c, src.shape[:3], (8, 7, 6))
+    assert plan.valid
+    fill = np.array([0.5], np.float32)
+    a = np.asarray(shear_resample(jnp.asarray(src), plan, fill,
+                                  method="linear", exact_bounds=(N, c),
+                                  impl="take"))
+    b = np.asarray(shear_resample(jnp.asarray(src), plan, fill,
+                                  method="linear", exact_bounds=(N, c),
+                                  impl="pallas"))
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
 def test_remap_bf16_output_close_to_f32():
     """The bf16 remap mode (halved HBM peak; used when the f32 mapped
     volume would bust the 512^3-class budget) stays within bf16 rounding
