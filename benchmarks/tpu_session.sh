@@ -28,6 +28,9 @@ run env MP_BENCH_SUBPIXEL=1 python bench.py 256
 # 2. Validation-epoch dispatch A/B (pending from VALIDATION 26)
 run python benchmarks/validation_epoch_probe.py 16 128 25
 
+# 2b. Pallas double-buffered pass kernel vs XLA einsum (VERDICT r2 item 9)
+run python benchmarks/shear_impl_probe.py 256 --pallas
+
 # 3. Cohort pipeline, fused + pipelined combined mode
 run python benchmarks/cohort_pipeline_probe.py 256 6 u8 serial,pipelined3
 
