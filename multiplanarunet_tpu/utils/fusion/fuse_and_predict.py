@@ -674,10 +674,12 @@ class MultiViewPredictor:
         # Above the HBM threshold the queue must be drained (async dispatch
         # allocates every queued program's outputs eagerly — six queued
         # views exhausted 16 GB, measured). MP_VIEW_INFLIGHT bounds HOW MANY
-        # views may be in flight at once: 1 (default) serializes each view;
-        # 2 overlaps view v's remap tail with view v+1's stack + U-Net
-        # (~2x one view's intermediates resident — measure before raising).
-        inflight = max(1, int(os.environ.get("MP_VIEW_INFLIGHT", "1")))
+        # views may be in flight at once: 2 (default) overlaps view v's
+        # remap tail with view v+1's stack + U-Net — measured 32.3 -> 28.25
+        # s/vol at 512^3 back-to-back on a v5e with HBM headroom intact
+        # (VALIDATION 29); 1 fully serializes each view (fallback if a
+        # larger model/volume combination runs out of HBM).
+        inflight = max(1, int(os.environ.get("MP_VIEW_INFLIGHT", "2")))
         pending = []
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
             if big and len(pending) >= inflight:

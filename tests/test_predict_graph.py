@@ -495,9 +495,10 @@ def test_pred_3d_iso_want_argmax_matches(label_image):
 
 
 def test_big_volume_drain_paths_match_fused(label_image, monkeypatch):
-    """The big-volume branches (per-view drain, MP_VIEW_INFLIGHT=2 overlap,
-    sharded per-device drain) must produce the exact same argmax maps as
-    the default fused graph. MP_PREDICT_BIG_BYTES=1 forces the big path on
+    """The big-volume branches (per-view drain at the default
+    MP_VIEW_INFLIGHT=2 overlap and the serialized =1 fallback, sharded
+    per-device drain) must produce the exact same argmax maps as the
+    default fused graph. MP_PREDICT_BIG_BYTES=1 forces the big path on
     tiny CPU volumes — this is the only coverage those branches get off
     hardware."""
     from multiplanarunet_tpu.parallel import get_mesh
@@ -512,10 +513,10 @@ def test_big_volume_drain_paths_match_fused(label_image, monkeypatch):
     for a, b in zip(pv_big, pv_ref):
         np.testing.assert_array_equal(a, b)
 
-    monkeypatch.setenv("MP_VIEW_INFLIGHT", "2")
-    fused_if2, _ = _predictor("shear").predict_image(
+    monkeypatch.setenv("MP_VIEW_INFLIGHT", "1")
+    fused_if1, _ = _predictor("shear").predict_image(
         pair, views, return_per_view=False)
-    np.testing.assert_array_equal(fused_if2, fused_ref)
+    np.testing.assert_array_equal(fused_if1, fused_ref)
 
     fused_shard = _predictor("shear").predict_image_sharded(
         pair, views, get_mesh(), n_planes="same+20")
