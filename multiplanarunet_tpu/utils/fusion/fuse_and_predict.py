@@ -669,17 +669,40 @@ class MultiViewPredictor:
                                                labels_dev)
                          for s in sides] if return_per_view else None)
             return accum, per_view
-        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
-        per_view = [] if return_per_view else None
         # Above the HBM threshold the queue must be drained (async dispatch
         # allocates every queued program's outputs eagerly — six queued
         # views exhausted 16 GB, measured). MP_VIEW_INFLIGHT bounds HOW MANY
         # views may be in flight at once: 2 (default) overlaps view v's
         # remap tail with view v+1's stack + U-Net — measured 32.3 -> 28.25
         # s/vol at 512^3 back-to-back on a v5e with HBM headroom intact
-        # (VALIDATION 29); 1 fully serializes each view (fallback if a
-        # larger model/volume combination runs out of HBM).
+        # (VALIDATION 29); 1 fully serializes each view. Only the measured
+        # 512^3/7-class config is validated no-OOM at 2, so an HBM-tight
+        # model/volume combination auto-falls back to 1 on
+        # RESOURCE_EXHAUSTED instead of erroring (round-3 advisor).
         inflight = max(1, int(os.environ.get("MP_VIEW_INFLIGHT", "2")))
+        try:
+            return self._run_shear_loop(
+                views, shear_fns, W, return_per_view, volume, out_shape,
+                true_shape, labels_dev, big, inflight)
+        except Exception as e:  # noqa: BLE001 — filtered to OOM below
+            oom = ("RESOURCE_EXHAUSTED" in repr(e)
+                   or "Out of memory" in repr(e))
+            if not (big and inflight > 1 and oom):
+                raise
+            if self.logger:
+                self.logger(
+                    f"HBM exhausted at view inflight={inflight}; "
+                    f"retrying fully serialized (inflight=1)")
+            import gc
+            gc.collect()  # drop the failed attempt's device buffers
+            return self._run_shear_loop(
+                views, shear_fns, W, return_per_view, volume, out_shape,
+                true_shape, labels_dev, big, 1)
+
+    def _run_shear_loop(self, views, shear_fns, W, return_per_view, volume,
+                        out_shape, true_shape, labels_dev, big, inflight):
+        accum = jnp.zeros(out_shape + (self.n_classes,), jnp.float32)
+        per_view = [] if return_per_view else None
         pending = []
         for v, (stack_fn, remap_fn) in enumerate(shear_fns):
             if big and len(pending) >= inflight:

@@ -523,6 +523,37 @@ def test_big_volume_drain_paths_match_fused(label_image, monkeypatch):
     np.testing.assert_array_equal(fused_shard, fused_ref)
 
 
+def test_big_volume_oom_falls_back_to_inflight_1(label_image, monkeypatch):
+    """A RESOURCE_EXHAUSTED at the default inflight=2 overlap must retry
+    fully serialized instead of surfacing (round-3 advisor finding): only
+    the measured 512^3/7-class config is validated no-OOM at 2, so an
+    HBM-tight combination degrades gracefully."""
+    pair, _ = label_image
+    views = geometry.get_random_views(3, rng=np.random.RandomState(21))
+    fused_ref, _ = _predictor("shear").predict_image(
+        pair, views, return_per_view=False)
+
+    monkeypatch.setenv("MP_PREDICT_BIG_BYTES", "1")
+    pred = _predictor("shear")
+    real_loop = pred._run_shear_loop
+    calls = []
+
+    def fake_loop(views_, fns, W, rpv, volume, out_shape, true_shape,
+                  labels_dev, big, inflight):
+        calls.append(inflight)
+        if inflight > 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                "allocate 1 bytes (simulated)")
+        return real_loop(views_, fns, W, rpv, volume, out_shape,
+                         true_shape, labels_dev, big, inflight)
+
+    monkeypatch.setattr(pred, "_run_shear_loop", fake_loop)
+    fused_oom, _ = pred.predict_image(pair, views, return_per_view=False)
+    assert calls == [2, 1]
+    np.testing.assert_array_equal(fused_oom, fused_ref)
+
+
 def test_sharded_multichip_predict_matches_sequential(label_image):
     """View-parallel inference over the 8-device mesh must equal the
     single-device sequential result exactly (same math, psum fusion)."""
