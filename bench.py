@@ -128,12 +128,30 @@ def main():
     vol_per_min = 60.0 / elapsed
     log(f"per-volume: {elapsed:.2f} s -> {vol_per_min:.2f} volumes/min")
 
+    # Model-FLOPs utilization: useful U-Net forward FLOPs (6 views x
+    # size+20 planes; scan-pad planes are waste and NOT counted) over
+    # wall time, against the chip's bf16 peak (v5e 197 TFLOPS; override
+    # with MP_PEAK_TFLOPS for other parts). VERDICT r3 item 6.
+    from multiplanarunet_tpu.utils.conv_arithmetics import unet_forward_flops
+    planes = n_views * (size + 20)
+    model_fl = unet_forward_flops(size, n_classes, n_channels, depth=4,
+                                  complexity_factor=2) * planes
+    tflops = model_fl / elapsed / 1e12
+    peak = float(os.environ.get("MP_PEAK_TFLOPS",
+                                "197" if platform == "tpu" else "0"))
+    mfu = round(tflops / peak, 4) if peak else None
+    log(f"model FLOPs/volume: {model_fl / 1e12:.2f} T -> {tflops:.1f} "
+        f"TFLOP/s (MFU {mfu if mfu is not None else 'n/a'})")
+
     baseline_vol_per_min = 6.0  # 10 s / 256^3 volume north-star
     print(json.dumps({
         "metric": f"volumes/min/chip predict ({size}^3, 6 views + fusion)",
         "value": round(vol_per_min, 3),
         "unit": "volumes/min",
         "vs_baseline": round(vol_per_min / baseline_vol_per_min, 3),
+        "model_tflops_per_volume": round(model_fl / 1e12, 2),
+        "tflops_per_s": round(tflops, 1),
+        "mfu": mfu,
     }))
 
 
