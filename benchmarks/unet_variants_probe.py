@@ -1,0 +1,115 @@
+"""Same-window A/B of inference-graph restructurings of the 2D U-Net
+(VERDICT r4 item 1 — the conv stack is ~90% of predict wall time).
+
+Times the REAL per-view program shape (lax.scan over 6 chunks of 46
+planes of 256^2 through the bench-config U-Net, bf16) for each variant:
+
+  baseline   upsample+conv2x2, flax BatchNorm (f32 promotion pass)
+  fused_bn   BN as precomputed compute-dtype affine (FusedBNAffine)
+  dilated    up-conv as ONE input-dilated 3x3 conv (DilatedUpConv)
+  both       fused_bn + dilated
+  skip_bn    BN dropped entirely — the floor any BN rework can reach
+             (NOT numerically valid; bound only)
+
+Each timing is one dispatch of a ~0.5 s program, so the axon transport's
+per-dispatch latency is noise; the fori_loop hoisting hazard that
+invalidated unet_layer_probe.py does not apply (the scan consumes real
+stacked input and returns the stacked output). Also checks max|delta| vs
+baseline on one chunk (f32) so the numerics claim is measured, not
+assumed.
+
+Usage: python benchmarks/unet_variants_probe.py [dim] [chunk] [reps]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from multiplanarunet_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.models import UNet, init_model_variables
+
+    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 46
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    n_steps = (dim + 20 + chunk - 1) // chunk  # same+20 planes per view
+    n_classes = 7
+    print(f"device: {jax.devices()[0]} | dim={dim} chunk={chunk} "
+          f"steps={n_steps} reps={reps}", flush=True)
+
+    base = UNet(n_classes=n_classes, dim=dim, n_channels=1, depth=4,
+                complexity_factor=2, dtype=jnp.bfloat16)
+    variables = init_model_variables(base, rng=jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    chunks = jnp.asarray(
+        rng.rand(n_steps, chunk, dim, dim, 1).astype(np.float32),
+        jnp.bfloat16)
+
+    from multiplanarunet_tpu.utils.conv_arithmetics import unet_forward_flops
+    flops = unet_forward_flops(dim, n_classes, 1, depth=4,
+                               complexity_factor=2) * n_steps * chunk
+
+    variants = [
+        ("baseline", {}),
+        ("fused_bn", {"predict_fused_bn": True}),
+        ("dilated", {"dilated_upconv": True}),
+        ("both", {"predict_fused_bn": True, "dilated_upconv": True}),
+        ("skip_bn(floor)", {"predict_skip_bn": True}),
+    ]
+
+    def make_fn(model):
+        def fwd(variables, chunks):
+            def body(_, xs):
+                out = model.apply(variables, xs, train=False)
+                return None, out.astype(jnp.bfloat16)
+            _, probs = jax.lax.scan(body, None, chunks)
+            return probs
+        return jax.jit(fwd)
+
+    ref_chunk = None
+    t_base = None
+    for name, flags in variants:
+        model = base.copy(**flags) if flags else base
+        fn = make_fn(model)
+        out = fn(variables, chunks)
+        _ = float(jnp.sum(out[0, 0, 0, 0]))  # compile+run sync
+        best = float("inf")
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(variables, chunks)
+            _ = float(jnp.sum(out[0, 0, 0, 0]))
+            dt = time.time() - t0
+            times.append(dt)
+            best = min(best, dt)
+        # numerics vs baseline on one chunk (f32 compare of bf16 outputs)
+        one = out[0].astype(jnp.float32)
+        if ref_chunk is None:
+            ref_chunk = one
+            t_base = best
+            delta = 0.0
+        else:
+            delta = float(jnp.max(jnp.abs(one - ref_chunk)))
+        tf = flops / best / 1e12
+        print(f"  {name:16s} best {best * 1e3:8.1f} ms "
+              f"(runs {[round(t * 1e3) for t in times]}) "
+              f"{tf:6.1f} TF/s  {tf / 197 * 100:5.1f}% peak  "
+              f"vs base {best / t_base:5.3f}x  max|d|={delta:.2e}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,37 @@ def _act(name):
     return getattr(nn, name) if hasattr(nn, name) else getattr(jax.nn, name)
 
 
+class FusedBNAffine(nn.Module):
+    """Inference-only BatchNorm with the affine precomputed per channel:
+    ``a = scale * rsqrt(var + eps); b = bias - mean * a``, both cast to the
+    compute dtype so the per-element work is a single mul-add in that dtype.
+
+    The stock flax BatchNorm promotes the activation to float32 for the
+    normalization — profiled on the v5e as a standalone `add_convert`
+    fusion streaming the full activation through HBM once more per block
+    (~543 MB/pass at 46x256^2x90). Restructuring to a compute-dtype affine
+    lets XLA fuse it into the producing conv's epilogue. Identical variable
+    tree to `nn.BatchNorm` (params scale/bias, batch_stats mean/var), so
+    checkpoints are interchangeable; values match up to the compute-dtype
+    rounding of (a, b)."""
+
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(c, jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(c, jnp.float32)).value
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
+
+
 class ConvBNBlock(nn.Module):
     """Two same-padded convs with activation, then BatchNorm."""
 
@@ -37,6 +68,8 @@ class ConvBNBlock(nn.Module):
     kernel_size: Sequence[int]
     activation: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
+    skip_bn: bool = False  # probe-only floor (NOT numerically equivalent)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -45,6 +78,11 @@ class ConvBNBlock(nn.Module):
             x = nn.Conv(self.filters, self.kernel_size, padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = act(x)
+        if self.skip_bn and not train:
+            return x
+        if self.fused_bn and not train:
+            return FusedBNAffine(epsilon=1e-3, dtype=self.dtype,
+                                 name="bn")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return x
@@ -129,6 +167,48 @@ class SubpixelUpConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class DilatedUpConv(nn.Module):
+    """``upsample2x -> Conv(2x2, SAME)`` computed as ONE input-dilated 3x3
+    conv — an exact algebraic identity: nearest-up(x) = dilate2(x) (*)
+    ones(2,2), so up-then-conv_k = dilate2(x) (*) (ones(2,2) *full* k),
+    a 3x3 kernel whose taps are partial sums of k
+    (K[m,n] = sum_{a,b} A[a,m] A[b,n] k[a,b] with A = [[1,1,0],[0,1,1]]).
+
+    Same parameter tree as `nn.Conv` (kernel (2,2,cin,f) + bias), so
+    checkpoints are interchangeable and values match up to float
+    re-association. Never materializes the (2H, 2W) upsampled tensor
+    (1.09 GB at 46x256^2x181 bf16 — profiled as a pure-bandwidth
+    broadcast on the v5e) and averages 2.25 vs 4 MXU taps per output
+    pixel."""
+
+    filters: int
+    ndim: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.ndim
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2,) * n + (cin, self.filters), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.filters,),
+                          jnp.float32)
+        A = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 1.0, 1.0]], kernel.dtype)
+        K = kernel
+        for ax in range(n):  # expand each spatial axis 2 -> 3 through A
+            K = jnp.moveaxis(jnp.tensordot(A, K, axes=(0, ax)), 0, ax)
+        K = K.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, K.shape,
+            ("NHWC", "HWIO", "NHWC") if n == 2
+            else ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), K, window_strides=(1,) * n,
+            padding=((1, 2),) * n, lhs_dilation=(2,) * n,
+            dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 def crop_to_match(skip, up):
     """Center-crop `skip`'s spatial dims down to `up`'s. Returns (cropped,
     crops) where crops is a (ndim_spatial, 2) array of (lo, hi) pixel crops."""
@@ -172,6 +252,18 @@ class UNet(nn.Module):
     # FLOPs — the parity pixel-shuffle's layout work outweighs the MAC
     # saving at these shapes, so the naive upsample+conv is the default.
     subpixel_decoder: bool = False
+    # Inference-only graph restructurings (identical parameter tree, so a
+    # trained checkpoint plugs straight in — the predictor enables them):
+    #   predict_fused_bn: BatchNorm as a precomputed compute-dtype affine
+    #     (see FusedBNAffine) instead of flax's f32 promotion pass.
+    #   dilated_upconv: decoder upsample+Conv(2x2) as one input-dilated
+    #     3x3 conv (see DilatedUpConv) — the 2x upsampled tensor is never
+    #     materialized.
+    #   predict_skip_bn: drop BN entirely — probe-only floor, NOT
+    #     numerically equivalent.
+    predict_fused_bn: bool = False
+    dilated_upconv: bool = False
+    predict_skip_bn: bool = False
 
     @property
     def cf(self):
@@ -191,7 +283,9 @@ class UNet(nn.Module):
         filters = self.init_filters
         for i in range(self.depth):
             block = ConvBNBlock(self._filters(filters), ks, self.activation,
-                                self.dtype, name=f"encoder_L{i}")
+                                self.dtype, fused_bn=self.predict_fused_bn,
+                                skip_bn=self.predict_skip_bn,
+                                name=f"encoder_L{i}")
             bn = block(x, train)
             skips.append(bn)
             x = nn.max_pool(bn, (2, 2), strides=(2, 2))
@@ -199,7 +293,8 @@ class UNet(nn.Module):
 
         # ------------------------------------------------------------ bottom
         x = ConvBNBlock(self._filters(filters), ks, self.activation,
-                        self.dtype, name="bottom")(x, train)
+                        self.dtype, fused_bn=self.predict_fused_bn,
+                        skip_bn=self.predict_skip_bn, name="bottom")(x, train)
 
         # ------------------------------------------------------------ decode
         label_crop = np.zeros((2, 2), np.int64)
@@ -210,19 +305,31 @@ class UNet(nn.Module):
                 x = SubpixelUpConv(self._filters(filters), ndim=2,
                                    dtype=self.dtype,
                                    name=f"decoder_L{i}_conv_up")(x)
+            elif self.dilated_upconv:
+                x = DilatedUpConv(self._filters(filters), dtype=self.dtype,
+                                  name=f"decoder_L{i}_conv_up")(x)
             else:
                 x = upsample2x(x)
                 x = nn.Conv(self._filters(filters), (2, 2), padding="SAME",
                             dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype,
-                             name=f"decoder_L{i}_bn_up")(x)
+            if self.predict_skip_bn and not train:
+                pass
+            elif self.predict_fused_bn and not train:
+                x = FusedBNAffine(epsilon=1e-3, dtype=self.dtype,
+                                  name=f"decoder_L{i}_bn_up")(x)
+            else:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-3,
+                                 dtype=self.dtype,
+                                 name=f"decoder_L{i}_bn_up")(x)
             skip, crops = crop_to_match(skip, x)
             label_crop += crops
             x = jnp.concatenate([skip, x], axis=-1)
             x = ConvBNBlock(self._filters(filters), ks, self.activation,
-                            self.dtype, name=f"decoder_L{i}")(x, train)
+                            self.dtype, fused_bn=self.predict_fused_bn,
+                            skip_bn=self.predict_skip_bn,
+                            name=f"decoder_L{i}")(x, train)
 
         # ------------------------------------------------------------ output
         x = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,

@@ -11,7 +11,7 @@ import numpy as np
 from flax import linen as nn
 
 from multiplanarunet_tpu.models.unet import (
-    ConvBNBlock, SubpixelUpConv, _act, crop_to_match,
+    ConvBNBlock, DilatedUpConv, SubpixelUpConv, _act, crop_to_match,
 )
 
 
@@ -34,6 +34,10 @@ class UNet3D(nn.Module):
     # same param tree, but the pixel-shuffle variant measured slower on
     # hardware — naive upsample+conv by default, flag kept for A/Bs.
     subpixel_decoder: bool = False
+    # Inference-time decoder restructure — upsample+Conv(2x2x2) as one
+    # input-dilated 3x3x3 conv (exact, same param tree; see 2D
+    # DilatedUpConv, measured -11.4% on the per-view 2D scan on a v5e).
+    dilated_upconv: bool = False
 
     @property
     def cf(self):
@@ -68,6 +72,10 @@ class UNet3D(nn.Module):
                 x = SubpixelUpConv(self._filters(filters), ndim=3,
                                    dtype=self.dtype,
                                    name=f"decoder_L{i}_conv_up")(x)
+            elif self.dilated_upconv:
+                x = DilatedUpConv(self._filters(filters), ndim=3,
+                                  dtype=self.dtype,
+                                  name=f"decoder_L{i}_conv_up")(x)
             else:
                 # Nearest 2x upsample via broadcast (same values as
                 # jax.image.resize nearest / Keras UpSampling3D, but pure

@@ -316,3 +316,52 @@ def test_fit_fusion_device_resident_learns_informative_view():
     dices = [float(m.group(1)) for s in logs
              for m in [re.search(r"val_dice=([0-9.]+)", s)] if m]
     assert dices and max(dices) > 0.95, dices
+
+
+def test_inference_graph_variants_match_baseline():
+    """predict_fused_bn (BN as precomputed compute-dtype affine) and
+    dilated_upconv (upsample+Conv2x2 as one input-dilated 3x3 conv) are
+    inference-time graph restructurings: identical param tree and equal
+    outputs up to float re-association (see models/unet.py docstrings for
+    the v5e profile motivating them)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 24, 3))
+    base = UNet(n_classes=5, dim=24, n_channels=3, depth=2,
+                complexity_factor=2, init_filters=8)
+    v = base.init(rng, x, train=False)
+    # non-trivial batch_stats so BN isn't the identity
+    bs = jax.tree_util.tree_map(
+        lambda p: p + 0.2 * jax.random.normal(rng, p.shape, p.dtype),
+        v["batch_stats"])
+    bs = jax.tree_util.tree_map(jnp.abs, bs)
+    v = {"params": v["params"], "batch_stats": bs}
+    y0 = base.apply(v, x, train=False)
+    for flags in ({"predict_fused_bn": True}, {"dilated_upconv": True},
+                  {"predict_fused_bn": True, "dilated_upconv": True}):
+        m = base.copy(**flags)
+        vi = m.init(rng, x, train=False)
+        assert (jax.tree_util.tree_structure(vi["params"])
+                == jax.tree_util.tree_structure(v["params"]))
+        y = m.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   atol=2e-5)
+
+    # odd dims exercise the crop path after the dilated up-conv
+    xo = jax.random.normal(jax.random.PRNGKey(2), (1, 26, 26, 1))
+    mo = UNet(n_classes=3, dim=26, depth=2, init_filters=8)
+    vo = mo.init(rng, xo, train=False)
+    np.testing.assert_allclose(
+        np.asarray(mo.copy(dilated_upconv=True).apply(vo, xo, train=False)),
+        np.asarray(mo.apply(vo, xo, train=False)), atol=1e-5)
+
+
+def test_dilated_upconv_3d_matches_naive():
+    x3 = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 16, 2))
+    m3 = UNet3D(n_classes=4, dim=16, n_channels=2, depth=2, init_filters=4,
+                dilated_upconv=True)
+    v3 = m3.init(jax.random.PRNGKey(0), x3, train=False)
+    np.testing.assert_allclose(
+        np.asarray(m3.apply(v3, x3, train=False)),
+        np.asarray(UNet3D(n_classes=4, dim=16, n_channels=2, depth=2,
+                          init_filters=4).apply(v3, x3, train=False)),
+        atol=1e-5)
