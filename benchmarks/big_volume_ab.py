@@ -87,10 +87,16 @@ def main():
                 n_planes="same+20", return_per_view=False)
             return time.time() - t0
         except Exception as e:  # noqa: BLE001 — OOM is a RESULT here
+            # Run-time HBM OOM (RESOURCE_EXHAUSTED) or compile-time OOM
+            # surfaced as an INTERNAL remote-compile failure (measured
+            # 2026-08-19: the 512^3 6-view megagraph needs 20.59 GB of
+            # HBM temps vs 15.75 available — compile refuses)
             if ("RESOURCE_EXHAUSTED" in repr(e)
-                    or "Out of memory" in repr(e)):
-                print(f"  {arm}: RESOURCE_EXHAUSTED after "
-                      f"{time.time() - t0:.1f} s", flush=True)
+                    or "Out of memory" in repr(e)
+                    or (arm == "mega" and "INTERNAL" in repr(e))):
+                print(f"  {arm}: OOM/compile-failure after "
+                      f"{time.time() - t0:.1f} s: {repr(e)[:160]}",
+                      flush=True)
                 import gc
 
                 gc.collect()
