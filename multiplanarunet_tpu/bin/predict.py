@@ -158,6 +158,19 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         if image_id in already_done:
             logger(f"Skipping {image_id} (already predicted)")
 
+    # Multi-process: images are independent work items — each process of
+    # the group takes a round-robin share (nii outputs are per-image dirs,
+    # so shares never collide on disk); the eval CSVs are merged by the
+    # main process at the end.
+    import jax
+
+    n_procs, proc_id = jax.process_count(), jax.process_index()
+    if n_procs > 1:
+        n_total = len(todo)
+        todo = todo[proc_id::n_procs]
+        logger(f"Multi-process predict: process {proc_id + 1}/{n_procs} "
+               f"handles {len(todo)}/{n_total} images")
+
     # Three-stage software pipeline over the cohort: an input IO thread
     # decodes + scales + device-stages image i+1 and an output IO thread
     # fetches (slow remote transport) + saves image i-1's result, both
@@ -247,7 +260,8 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
                     results.loc[image_id, "MJ"] = np.nanmean(merged_dices)
                     logger(f"Fused: mean dice {np.nanmean(merged_dices):.4f} "
                            f"(per-class {np.round(merged_dices, 4)})")
-                    lr.save_all(results, pc_results, out_dir)
+                    if proc_id == 0:  # progress save; final merge below
+                        lr.save_all(results, pc_results, out_dir)
                 to_save = fused if args.no_argmax else fused_cls
                 save_nii_files(to_save, image, nii_dir,
                                args.save_input_files, logger)
@@ -268,7 +282,45 @@ def run_predictions_and_eval(loader, predictor, views, fusion_params, args,
         io_pool.shutdown(wait=False)
         out_pool.shutdown(wait=True)
     if not args.no_eval:
-        lr.save_all(results, pc_results, out_dir)
+        if n_procs > 1:
+            # Each non-main process persists its partial tables to a
+            # hidden per-rank dir; after a group barrier the main process
+            # folds the non-NaN entries into its own and writes the final
+            # results exactly once.
+            import shutil
+
+            from multiplanarunet_tpu.parallel import process_barrier
+
+            if proc_id != 0:
+                rank_dir = os.path.join(out_dir, f".rank{proc_id}")
+                os.makedirs(rank_dir, exist_ok=True)
+                lr.save_all(results, pc_results, rank_dir)
+            process_barrier("mp-predict-results")
+            if proc_id == 0:
+                for r in range(1, n_procs):
+                    rank_dir = os.path.join(out_dir, f".rank{r}")
+                    r_res, r_pc = lr.load_result_dicts(
+                        os.path.join(rank_dir, "csv"), views)
+                    results.update(r_res)
+                    # load_result_dicts keys per-view tables by the
+                    # float64 str(view); the in-memory dicts key by the
+                    # views' own dtype (float32 from views.npz formats
+                    # differently) — align by view, not by string
+                    for v in views:
+                        pc_results[str(v)].update(
+                            r_pc[str(np.asarray(v, np.float64))])
+                    pc_results["MJ"].update(r_pc["MJ"])
+                    shutil.rmtree(rank_dir, ignore_errors=True)
+                lr.save_all(results, pc_results, out_dir)
+        else:
+            lr.save_all(results, pc_results, out_dir)
+    if n_procs > 1:
+        # Hold every rank until the slowest (incl. rank 0's merge above)
+        # is done: a rank that exits minutes early trips jax.distributed's
+        # Shutdown-barrier timeout (measured in tests/test_distributed_cli).
+        from multiplanarunet_tpu.parallel import process_barrier
+
+        process_barrier("mp-predict-done")
     return results
 
 
@@ -290,7 +342,12 @@ def entry_func(args=None):
     from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
     from multiplanarunet_tpu.utils.utils import get_best_model
 
-    logger = Logger(out_dir, active_file="predict_log",
+    from multiplanarunet_tpu.parallel import is_main_process
+
+    logger = Logger(out_dir,
+                    active_file="predict_log" if is_main_process() else
+                    f"predict_log_rank"
+                    f"{os.environ.get('MPUNET_PROCESS_ID', '')}",
                     overwrite_existing=True, no_sub_folder=True)
     hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
                           logger=logger, no_version_control=True)

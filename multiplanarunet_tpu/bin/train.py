@@ -251,8 +251,11 @@ def run(project_dir, logger, args):
             no_im=args.no_images,
         )
     finally:
-        save_final_weights(trainer, project_dir, logger)
-    hparams.save_current()
+        from multiplanarunet_tpu.parallel import is_main_process
+
+        if is_main_process():
+            save_final_weights(trainer, project_dir, logger)
+    hparams.save_current()  # no-op on non-main processes
 
 
 def entry_func(args=None):
@@ -265,13 +268,29 @@ def entry_func(args=None):
     validate_project_dir(project_dir)
     os.chdir(project_dir)
 
-    if args.overwrite:
+    from multiplanarunet_tpu.parallel import (
+        is_main_process,
+        maybe_initialize_distributed,
+        process_barrier,
+    )
+
+    # Initialize the process group BEFORE touching the shared project dir:
+    # the overwrite cleanup below must complete before any other rank
+    # creates its log file inside logs/ (measured race in
+    # tests/test_distributed_cli.py — rank 1's freshly opened
+    # train_rank1.txt vanished under rank 0's rmtree).
+    maybe_initialize_distributed()
+    if args.overwrite and is_main_process():
         remove_previous_session(project_dir)
+    process_barrier("mp-train-overwrite")
 
     logger = Logger(
         project_dir,
         overwrite_existing=args.overwrite or args.continue_training,
-        active_file="train",
+        # Per-process log files: the shared `train` log belongs to the
+        # main process; others keep their own rank-suffixed file
+        active_file="train" if is_main_process()
+        else f"train_rank{os.environ.get('MPUNET_PROCESS_ID', '')}",
     )
     logger(f"Project directory: {project_dir}")
     if args.wait_for:

@@ -20,6 +20,12 @@ class Callback:
     """Base class; the Trainer assigns itself before training starts."""
 
     trainer = None
+    # Callbacks that persist artifacts (checkpoints, CSVs, images) are
+    # dropped on non-main processes of a multi-process run: every process
+    # computes identical logs (replicated train state, collective eval),
+    # so exactly one writer suffices and concurrent writers would race on
+    # the shared project directory.
+    writes_files = False
 
     def set_trainer(self, trainer):
         self.trainer = trainer
@@ -50,6 +56,7 @@ class ModelCheckPointClean(Callback):
     """Save the best checkpoint, deleting the previously saved best file
     (parity: `mpunet/callbacks/mcp_clean.py`). Filepath may format `epoch`
     and any logs key, e.g. './model/@epoch_{epoch:02d}_val_dice_{val_dice:.5f}.npz'."""
+    writes_files = True
 
     def __init__(self, filepath, monitor="val_dice", save_best_only=True,
                  save_weights_only=True, verbose=1, mode="max", **kwargs):
@@ -151,6 +158,7 @@ class ReduceLROnPlateau(Callback):
 
 
 class CSVLogger(Callback):
+    writes_files = True
     def __init__(self, filename="logs/training.csv", separator=",",
                  append=True, **kwargs):
         self.filename = Path(filename)
@@ -251,6 +259,7 @@ class DividerLine(Callback):
 
 class LearningCurve(Callback):
     """Re-plots logs/curve.png from the CSV log each epoch."""
+    writes_files = True
 
     def __init__(self, log_dir="logs", out_dir="logs", fname="curve.png",
                  logger=None, **kwargs):
@@ -275,6 +284,10 @@ class DelayedCallback(Callback):
     def __init__(self, callback, start_from=0, logger=None, **kwargs):
         self.callback = callback
         self.start_from = start_from
+
+    @property
+    def writes_files(self):
+        return self.callback.writes_files
 
     def set_trainer(self, trainer):
         self.trainer = trainer
@@ -351,6 +364,7 @@ class PrintLayerWeights(Callback):
 class SavePredictionImages(Callback):
     """Saves sample (input | truth | prediction) panels each epoch (parity:
     `callbacks/callbacks.py:345-420`)."""
+    writes_files = True
 
     def __init__(self, train_data=None, val_data=None, out_dir="images",
                  logger=None, **kwargs):
@@ -383,6 +397,7 @@ class SavePredictionImages(Callback):
 class Profiler(Callback):
     """jax.profiler trace of selected epochs (the tracing subsystem; replaces
     the reference's TensorBoard profile_batch hook)."""
+    writes_files = True
 
     def __init__(self, log_dir="./profile", epochs=(1,), logger=None,
                  **kwargs):
@@ -416,6 +431,7 @@ class Profiler(Callback):
 class SaveOutputAs2DImage(Callback):
     """Saves the model's output on a fixed sample as a 2D image per epoch
     (parity: `callbacks/callbacks.py:276-342`)."""
+    writes_files = True
 
     def __init__(self, sequence=None, out_dir="images/outputs", every=1,
                  logger=None, **kwargs):

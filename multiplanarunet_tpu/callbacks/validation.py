@@ -108,7 +108,10 @@ class Validation(Callback):
                             for nc in n_classes_list
                         ),
                     }
-                acc = self._accum_step(
+                # synced_dispatch: multi-process ranks AOT-compile the
+                # collective eval program in lockstep (see Trainer)
+                acc = trainer.synced_dispatch(
+                    "val_accum", self._accum_step,
                     trainer.state.params, trainer.state.batch_stats,
                     X, y, w, mask, acc,
                 )

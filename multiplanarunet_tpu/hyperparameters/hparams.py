@@ -282,6 +282,14 @@ class YAMLHParams(dict):
                         f"in subdir '{subdir}' with name '{name}'")
 
     def save_current(self, out_path=None):
+        # Multi-process runs share the project dir: every process holds an
+        # identical in-memory config (audit + view broadcast), so only the
+        # main process persists it — concurrent truncate+write of the same
+        # YAML from several processes can interleave.
+        from multiplanarunet_tpu.parallel import is_main_process
+
+        if not is_main_process():
+            return
         out_path = os.path.abspath(out_path or self.yaml_path)
         if not self.no_log:
             self.logger(f"Saving current YAML configuration to file: {out_path}")

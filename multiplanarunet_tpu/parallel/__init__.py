@@ -8,8 +8,11 @@ from multiplanarunet_tpu.parallel.mesh import (
     shard_batch,
 )
 from multiplanarunet_tpu.parallel.distributed import (
+    broadcast_from_main,
     initialize_distributed,
+    is_main_process,
     local_batch_slice,
     maybe_initialize_distributed,
+    process_barrier,
     task_group_mesh,
 )

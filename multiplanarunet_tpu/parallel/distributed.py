@@ -121,3 +121,70 @@ def local_batch_slice(global_batch_size):
 
     per_proc = global_batch_size // jax.process_count()
     return jax.process_index() * per_proc, per_proc
+
+
+def is_main_process():
+    """True in the process that owns shared-filesystem writes (results
+    CSVs, checkpoints, views.npz, hparams). Single-process: always True.
+    The reference never needs this (its MirroredStrategy is single-
+    process, `mpunet/bin/train.py:349`); here every `mp` entry point may
+    run as one process of a jax.distributed group sharing a project dir,
+    so exactly one writer is part of the CLI contract.
+
+    Reads the MPUNET_PROCESS_ID launcher marker first: querying
+    jax.process_index() initializes the backend, which must never happen
+    before jax.distributed.initialize — this keeps the predicate safe to
+    call from anywhere (e.g. YAMLHParams.save_current during project
+    setup)."""
+    pid = os.environ.get("MPUNET_PROCESS_ID")
+    if pid is not None:
+        return pid == "0"
+    if any(m in os.environ for m in _DIST_ENV_MARKERS):
+        import jax
+
+        return jax.process_index() == 0
+    return True
+
+
+def process_barrier(name, timeout_ms=3_600_000):
+    """Block until every process of the group reaches `name` (no-op
+    single-process). Used by `mp predict` before the main process merges
+    the per-process partial results CSVs.
+
+    Uses the jax.distributed coordination-service barrier (host-level,
+    explicit timeout) rather than a device collective: processes reach
+    this barrier minutes apart (each predicts its own share of the
+    cohort), and a first gloo collective issued that late dies on gloo's
+    30 s context-initialization deadline (measured in
+    tests/test_distributed_cli.py). Falls back to sync_global_devices
+    where the client API is unavailable."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = getattr(distributed.global_state, "client", None)
+    except Exception:  # pragma: no cover - private-API drift
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)  # pragma: no cover
+
+
+def broadcast_from_main(array):
+    """Return the main process's value of `array` in every process (no-op
+    single-process). Keeps randomly sampled run artifacts — e.g. the view
+    axes of `load_or_create_views` — identical across a process group
+    without requiring seed discipline in every sampler."""
+    import jax
+
+    if jax.process_count() == 1:
+        return array
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(np.asarray(array)))

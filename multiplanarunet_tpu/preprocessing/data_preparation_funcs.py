@@ -125,6 +125,16 @@ def load_or_create_views(hparams, continue_training, logger, base_path,
         raise ValueError(f"Invalid 'views' value {views!r}; must be an int "
                          f"or a list of vectors")
     logger(f"View SD:     {hparams['fit'].get('noise_sd')}")
+    # Multi-process: the view axes (and pre-added noise) above are random
+    # draws — every process must train on the MAIN process's draw, and
+    # only that process persists views.npz/png to the shared project dir.
+    from multiplanarunet_tpu.parallel import broadcast_from_main, \
+        is_main_process
+
+    hparams["fit"]["views"] = broadcast_from_main(
+        np.asarray(hparams["fit"]["views"], np.float64))
+    if not is_main_process():
+        return
     np.savez(os.path.join(base_path, "views"), hparams["fit"]["views"])
     try:
         from multiplanarunet_tpu.utils.plotting import plot_views

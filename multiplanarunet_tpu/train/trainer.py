@@ -77,6 +77,40 @@ class Trainer:
         self.stop_training = False
         self.train_sequence = None
         self.val_sequence = None
+        self._synced_programs = {}
+
+    # -------------------------------------------------- collective dispatch
+    def synced_dispatch(self, key, fn, *args):
+        """Dispatch a jitted program containing cross-process collectives.
+
+        Single-process: a plain call. Multi-process: the first call per
+        (key, leaf shapes/dtypes) AOT-compiles the program, holds every
+        rank at a host-level coordination barrier until the whole group
+        finished compiling, then executes the compiled object (cached and
+        reused for all later calls). Gloo's TCP context initialization has
+        a hard 30 s deadline: first-dispatch skew of a whole compile time
+        — e.g. one rank hitting the persistent compile cache while the
+        other compiles for minutes — killed the first collective of a
+        2-process `mp train` (measured in tests/test_distributed_cli.py).
+        Lockstep compilation also keeps multi-minute TPU-pod first
+        compiles inside their collective timeouts."""
+        if self.n_processes <= 1:
+            return fn(*args)
+        import jax
+
+        sig = (key,) + tuple(
+            (tuple(getattr(x, "shape", ())), str(getattr(x, "dtype", "")))
+            for x in jax.tree_util.tree_leaves(args))
+        compiled = self._synced_programs.get(sig)
+        if compiled is None:
+            from multiplanarunet_tpu.parallel import process_barrier
+
+            compiled = fn.lower(*args).compile()
+            # Ranks meet new signatures in the same (deterministic) order,
+            # so the counter-derived barrier name matches across the group
+            process_barrier(f"compile-{key}-{len(self._synced_programs)}")
+            self._synced_programs[sig] = compiled
+        return compiled(*args)
 
     # ------------------------------------------------------------- compile
     def compile_model(self, optimizer, optimizer_kwargs=None, loss=None,
@@ -256,6 +290,20 @@ class Trainer:
                                       verbose=verbose))
         extra, self.cb_dict = init_callback_objects(callbacks, self.logger)
         cb_objs += extra
+        if self.n_processes > 1:
+            from multiplanarunet_tpu.parallel import is_main_process
+
+            if not is_main_process():
+                # Exactly one writer per shared project dir: logs are
+                # replicated (psum'd loss, collective eval), so non-main
+                # processes drop artifact-persisting callbacks instead of
+                # racing the main process on checkpoints/CSVs/images.
+                dropped = [type(cb).__name__ for cb in cb_objs
+                           if cb.writes_files]
+                cb_objs = [cb for cb in cb_objs if not cb.writes_files]
+                if dropped:
+                    self.logger(f"Non-main process: dropped file-writing "
+                                f"callbacks {dropped}")
         for cb in cb_objs:
             cb.set_trainer(self)
 
@@ -297,8 +345,8 @@ class Trainer:
                             train.__getitem__, step + depth
                         ))
                     X, y, w = self._shard(X, y, w)
-                    self.state, step_logs = self.train_step(
-                        self.state, X, y, w
+                    self.state, step_logs = self.synced_dispatch(
+                        "train_step", self.train_step, self.state, X, y, w
                     )
                     for k, v in step_logs.items():
                         accum.setdefault(k, []).append(v)
