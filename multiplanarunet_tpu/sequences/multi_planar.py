@@ -89,6 +89,101 @@ def _finish_batch_fused(volumes, slots, origins, spacings, rots, bases,
     return X, y
 
 
+def _walk_select(pres0, pres_rest, s_pos, fg_classes, n_fg_slices,
+                 force_all_fg):
+    """In-graph replica of `select_candidate` / `_accepts_candidate`: the
+    sequential fg-quota walk over the batch as a lax.scan (carry = the
+    running (has_fg_vec, has_fg_count)), the K-candidate retry loop
+    unrolled in the body. Returns chosen candidate index per row.
+
+    Moving the walk on device removes the sampler's LAST per-batch
+    blocking host sync (the phase-2 presence fetch — a full round-trip on
+    remote-dispatch transports); the depth-0 presence fetch that decides
+    WHICH rows need phase 2 rides the batch lookahead and stays host-side.
+    Bit-parity with the host walk is pinned by
+    tests/test_sequences.py::test_fused_finish_matches_sequential and
+    ::test_device_walk_matches_host_walk."""
+    B = pres0.shape[0]
+    K = pres_rest.shape[1] + 1
+    fg_idx = jnp.asarray(np.asarray(fg_classes, np.int32))
+
+    def row(carry, inp):
+        vec, count = carry
+        p0, spos, b = inp
+        rest = pres_rest[jnp.maximum(spos, 0)]          # (K-1, n_classes)
+        pres = jnp.concatenate([p0[None], rest], 0)     # (K, n_classes)
+        cand = jnp.take(pres, fg_idx, axis=1)           # (K, F)
+        slots_left = B - b
+        accepted = jnp.zeros((), bool)
+        chosen = jnp.full((), K - 1, jnp.int32)
+        chosen_c = cand[K - 1]
+        for t in range(K):
+            c = cand[t]
+            if force_all_fg and t < K - 1:
+                new_mask = vec | c
+                unfillable = jnp.logical_and(
+                    ~jnp.all(new_mask),
+                    jnp.sum(~new_mask) >= slots_left)
+            else:
+                unfillable = jnp.zeros((), bool)
+            has_fg = jnp.any(c)
+            quota_ok = (n_fg_slices - count) < slots_left
+            accept = jnp.logical_or(
+                jnp.logical_and(~unfillable,
+                                jnp.logical_or(has_fg, quota_ok)),
+                t == K - 1)
+            take = jnp.logical_and(accept, ~accepted)
+            chosen = jnp.where(take, jnp.int32(t), chosen)
+            chosen_c = jnp.where(take, c, chosen_c)
+            accepted = jnp.logical_or(accepted, accept)
+        # The accepted candidate's classes extend the batch fg mask except
+        # on a last-try accept (mirrors _accepts_candidate, which skips
+        # the force block when is_last); count grows iff it carried fg.
+        if force_all_fg:
+            vec = jnp.where(chosen != K - 1, vec | chosen_c, vec)
+        count = count + jnp.any(chosen_c).astype(jnp.int32)
+        return (vec, count), chosen
+
+    init = (jnp.zeros((len(fg_classes),), bool),
+            jnp.zeros((), jnp.int32))
+    _, chosen = jax.lax.scan(
+        row, init, (pres0, jnp.asarray(s_pos, jnp.int32),
+                    jnp.arange(B, dtype=jnp.int32)))
+    return chosen
+
+
+@partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
+                                   "with_elastic", "fg_classes",
+                                   "n_fg_slices", "force_all_fg"))
+def _finish_batch_fused_walk(volumes, slots, origins, spacings, rots,
+                             bases_all, offsets_all, fills, valid_shapes,
+                             labs0, labs_rest, pres0, pres_rest, s_pos,
+                             key, alphas, sigmas, apply_mask, bg,
+                             span, dim, crop, flatten_y, with_elastic,
+                             fg_classes, n_fg_slices, force_all_fg):
+    """Fused finish with the candidate walk IN-GRAPH: select -> image
+    gather -> label select -> elastic -> prep as one program, consuming
+    the phase-2 presence on device (no host fetch). `pres_rest` arrives
+    flat ((pad*(K-1), n_classes) — or a (K-1, n_classes) dummy when no
+    row entered phase 2) and is reshaped here, in-graph."""
+    B = pres0.shape[0]
+    K = bases_all.shape[1]
+    pres_rest = pres_rest.reshape(-1, K - 1, pres0.shape[1])
+    chosen = _walk_select(pres0, pres_rest, s_pos, fg_classes,
+                          n_fg_slices, force_all_fg)
+    bidx = jnp.arange(B)
+    bases = bases_all[bidx, chosen]
+    offsets = offsets_all[bidx, chosen]
+    sel_idx = jnp.where(
+        chosen == 0, bidx,
+        B + jnp.maximum(jnp.asarray(s_pos, jnp.int32), 0) * (K - 1)
+        + chosen - 1)
+    return _finish_batch_fused(
+        volumes, slots, origins, spacings, rots, bases, offsets, fills,
+        valid_shapes, labs0, labs_rest, sel_idx, key, alphas, sigmas,
+        apply_mask, bg, span, dim, crop, flatten_y, with_elastic)
+
+
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
 def _candidate_label_slices(labels_vol, origin, spacing, rot, bases, offsets,
                             span, dim, bg_class, n_classes, valid_shape):
@@ -359,7 +454,8 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         maybe_rejected = ~fg.all(1) if self.force_all_fg else ~fg.any(1)
         S = np.nonzero(maybe_rejected)[0]
         labs_rest = None
-        pres_rest = np.zeros((0, K - 1, self.n_classes), bool)
+        pres_rest_dev = None
+        pad = 0
         s_pos = np.full(B, -1, np.int64)
         if len(S) and K > 1:
             # pad the row count to a power of two: bounded compile shapes
@@ -367,13 +463,78 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
             S_pad = np.concatenate([S, np.repeat(S[:1], pad - len(S))])
             rep = np.repeat(S_pad, K - 1)
             rep_params = {k: v[rep] for k, v in params.items()}
-            labs_rest, pres_rest = self._dispatch_candidates(
+            labs_rest, pres_rest_dev = self._dispatch_candidates(
                 st["labels"], slots[rep], rep_params,
                 bases[S_pad, 1:].reshape(-1, 3, 3),
                 offsets[S_pad, 1:].reshape(-1), span)
-            pres_rest = np.asarray(pres_rest).reshape(pad, K - 1,
-                                                      self.n_classes)
             s_pos[S] = np.arange(len(S))
+        batch_w = np.asarray(st["weights"], np.float32)
+
+        augs = self.list_of_augmenters or []
+        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
+                   and len(augs) <= 1
+                   and not getattr(self, "disable_fused_finish", False))
+        if fusable:
+            # One-dispatch finish with the accept walk IN-GRAPH: the
+            # phase-2 presence is consumed on device, so the batch needs
+            # NO blocking host sync at all (the depth-0 presence fetch
+            # rode the lookahead; everything below is async dispatch).
+            if augs:
+                key, alphas, sigmas, apply_mask = \
+                    augs[0].draw_batch_params(B)
+                batch_w = batch_w.copy()
+                batch_w[apply_mask] = augs[0].weight
+                alphas = np.asarray(alphas, np.float32)
+                sigmas = np.asarray(sigmas, np.float32)
+                apply_mask = np.asarray(apply_mask)
+            else:
+                # No augmenter: the kernel ignores these (with_elastic is a
+                # static False) — cache the constant key/zeros ONCE so the
+                # per-batch path pays no eager PRNGKey op or dummy host->
+                # device transfers (each is an RPC on remote transports).
+                cached = getattr(self, "_noaug_finish_params", None)
+                if cached is None or int(cached[1].shape[0]) != B:
+                    cached = self._noaug_finish_params = (
+                        jax.random.PRNGKey(0),
+                        jnp.zeros(B, jnp.float32),
+                        jnp.zeros(B, jnp.float32),
+                        jnp.zeros(B, bool),
+                    )
+                key, alphas, sigmas, apply_mask = cached
+            d = self.sample_dim
+            rest = (labs_rest if labs_rest is not None
+                    else np.zeros((0, d, d), np.int32))
+            p_rest = (pres_rest_dev if pres_rest_dev is not None
+                      # dummy row: every chosen index is 0 by construction
+                      # when no row entered phase 2 (values never selected)
+                      else np.zeros((K - 1, self.n_classes), bool))
+            batch_x, batch_y = _finish_batch_fused_walk(
+                pool_volumes, jnp.asarray(slots),
+                jnp.asarray(params["origins"]),
+                jnp.asarray(params["spacings"]),
+                jnp.asarray(params["rots"]),
+                jnp.asarray(bases), jnp.asarray(offsets),
+                jnp.asarray(params["fills"]),
+                jnp.asarray(params["valid_shapes"]),
+                labs0, rest, st["pres0"], p_rest,
+                jnp.asarray(s_pos, jnp.int32), key,
+                alphas, sigmas, apply_mask,
+                np.asarray(params["fills"], np.float32),
+                span, d,
+                tuple(tuple(int(c) for c in pair)
+                      for pair in self.label_crop),
+                bool(self.flatten_y), bool(len(augs)),
+                tuple(int(c) for c in self.fg_classes),
+                int(self.n_fg_slices), bool(self.force_all_fg),
+            )
+            return batch_x, batch_y, batch_w
+
+        # Non-fused path (custom augmenters / A-B harnesses): fetch the
+        # phase-2 presence and run the accept walk on host — the oracle
+        # the device walk is pinned against.
+        pres_rest = (np.asarray(pres_rest_dev).reshape(
+            pad, K - 1, self.n_classes) if pres_rest_dev is not None
+            else np.zeros((0, K - 1, self.n_classes), bool))
 
         # Sequential accept/retry over the batch (reference statistics)
         has_fg_count = 0
@@ -404,56 +565,6 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
             sel_idx = np.where(
                 from0, np.arange(B),
                 len(labs0) + s_pos * (K - 1) + (chosen_t - 1))
-        batch_w = np.asarray(st["weights"], np.float32)
-
-        augs = self.list_of_augmenters or []
-        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
-                   and len(augs) <= 1
-                   and not getattr(self, "disable_fused_finish", False))
-        if fusable:
-            # One-dispatch finish: gather + select + elastic + prep fused
-            if augs:
-                key, alphas, sigmas, apply_mask = \
-                    augs[0].draw_batch_params(B)
-                batch_w = batch_w.copy()
-                batch_w[apply_mask] = augs[0].weight
-                alphas = np.asarray(alphas, np.float32)
-                sigmas = np.asarray(sigmas, np.float32)
-                apply_mask = np.asarray(apply_mask)
-            else:
-                # No augmenter: the kernel ignores these (with_elastic is a
-                # static False) — cache the constant key/zeros ONCE so the
-                # per-batch path pays no eager PRNGKey op or dummy host->
-                # device transfers (each is an RPC on remote transports).
-                cached = getattr(self, "_noaug_finish_params", None)
-                if cached is None or int(cached[1].shape[0]) != B:
-                    cached = self._noaug_finish_params = (
-                        jax.random.PRNGKey(0),
-                        jnp.zeros(B, jnp.float32),
-                        jnp.zeros(B, jnp.float32),
-                        jnp.zeros(B, bool),
-                    )
-                key, alphas, sigmas, apply_mask = cached
-            d = self.sample_dim
-            rest = (labs_rest if labs_rest is not None
-                    else np.zeros((0, d, d), np.int32))
-            batch_x, batch_y = _finish_batch_fused(
-                pool_volumes, jnp.asarray(slots),
-                jnp.asarray(params["origins"]),
-                jnp.asarray(params["spacings"]),
-                jnp.asarray(params["rots"]),
-                jnp.asarray(chosen_bases), jnp.asarray(chosen_offsets),
-                jnp.asarray(params["fills"]),
-                jnp.asarray(params["valid_shapes"]),
-                labs0, rest, sel_idx, key,
-                alphas, sigmas, apply_mask,
-                np.asarray(params["fills"], np.float32),
-                span, d,
-                tuple(tuple(int(c) for c in pair)
-                      for pair in self.label_crop),
-                bool(self.flatten_y), bool(len(augs)),
-            )
-            return batch_x, batch_y, batch_w
 
         batch_x = sample_plane_batch_pool(
             pool_volumes, jnp.asarray(slots),

@@ -312,3 +312,64 @@ def test_smooth_field_matches_scipy():
         want = gaussian_filter(field, sigma, mode="constant", cval=0.0)
         got = np.asarray(smooth_field(jnp.asarray(field), sigma, radius=40))
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_device_walk_matches_host_walk(toy_queue):
+    """The in-graph candidate walk (`_walk_select`) must reproduce the
+    host `select_candidate` loop bit-exactly over randomized presence
+    patterns, quota settings and phase-2 row subsets."""
+    import jax.numpy as jnp
+
+    from multiplanarunet_tpu.sequences.multi_planar import (
+        MAX_TRIES, _walk_select,
+    )
+
+    rng = np.random.RandomState(0)
+    for trial in range(40):
+        B = int(rng.choice([3, 4, 8, 16]))
+        n_classes = int(rng.choice([2, 3, 4, 7]))
+        force = bool(rng.randint(2))
+        frac = float(rng.choice([0.0, 0.25, 0.5, 1.0]))
+        seq = _make_seq(toy_queue, batch_size=B, n_classes=n_classes,
+                        fg_batch_fraction=frac,
+                        force_all_fg=force)
+        K = MAX_TRIES
+        # sparse presence so rejections actually happen
+        pres = rng.rand(B, K, n_classes) < rng.uniform(0.05, 0.5)
+        pres[..., 0] = True  # background always present
+        pres0 = pres[:, 0]
+        fg = pres0[:, seq.fg_classes]
+        maybe_rejected = ~fg.all(1) if seq.force_all_fg else ~fg.any(1)
+        S = np.nonzero(maybe_rejected)[0]
+        s_pos = np.full(B, -1, np.int64)
+        if len(S):
+            pad = 1 << int(np.ceil(np.log2(len(S))))
+            S_pad = np.concatenate([S, np.repeat(S[:1], pad - len(S))])
+            pres_rest = pres[S_pad, 1:]
+            s_pos[S] = np.arange(len(S))
+        else:
+            pres_rest = np.zeros((1, K - 1, n_classes), bool)
+
+        # host oracle (the reference retry statistics)
+        vec = np.zeros(len(seq.fg_classes), bool)
+        count = 0
+        want = np.empty(B, np.int64)
+        for b in range(B):
+            if s_pos[b] < 0:
+                ok, vec, ch = seq._accepts_candidate(
+                    pres0[b], 1, K == 1, vec, count, b)
+                assert ok
+                count += ch
+                want[b] = 0
+            else:
+                want[b], vec, count = seq.select_candidate(
+                    np.concatenate([pres0[b:b + 1],
+                                    pres_rest[s_pos[b]]]),
+                    vec, count, b)
+
+        got = np.asarray(_walk_select(
+            jnp.asarray(pres0), jnp.asarray(pres_rest),
+            jnp.asarray(s_pos, jnp.int32),
+            tuple(int(c) for c in seq.fg_classes),
+            int(seq.n_fg_slices), bool(seq.force_all_fg)))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
