@@ -60,15 +60,15 @@ def main():
          [0.577, 0.577, 0.577], [-0.577, 0.577, 0.577],
          [0.577, -0.577, 0.577]], np.float32)
     seq = get_sequence(
-        data_queue=queue, is_validation=False, intrp_style="iso_live",
-        views=views, batch_size=batch, sample_dim=dim,
-        real_space_span=160.0, noise_sd=0.1, force_all_fg="auto",
-        fg_batch_fraction=0.50, n_classes=3, bg_value=1.0,
+        queue, intrp_style="iso_live", views=views, dim=dim,
+        batch_size=batch, n_classes=3, real_space_span=160.0,
+        noise_sd=0.1, is_validation=False, logger=ScreenLogger(False),
+        no_log=True,
         augmenters=[{"cls_name": "Elastic2D",
                      "kwargs": {"alpha": [0, 450], "sigma": [20, 30],
                                 "apply_prob": 0.333}}],
-        no_log=True,
     )
+    seq.batch_size = batch
     model = UNet(n_classes=3, dim=dim, n_channels=1, depth=4,
                  complexity_factor=2)
     variables = init_model_variables(model, rng=jax.random.PRNGKey(0))
