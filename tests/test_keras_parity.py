@@ -294,12 +294,15 @@ def _toy_image(root):
     return pair, lab
 
 
-def _reference_fused_predict(keras_env, keras_model, pair, views):
+def _reference_fused_predict(keras_env, keras_model, pair, views,
+                             dim=None, span=None):
     """The reference's OWN inference path: per-view plane sampling
     (sample_plane_at + ViewInterpolator, as get_view_from does), Keras
     predict_volume, map_real_space_pred nearest remap, sum fusion."""
     fuse = keras_env.fuse
     sg = keras_env.sample_grid
+    dim = DIM if dim is None else dim
+    span = SPAN if span is None else span
 
     sampler = pair.interpolator
     vol = np.asarray(sampler.scaled_volume)  # (X, Y, Z, C), scaled units
@@ -314,20 +317,20 @@ def _reference_fused_predict(keras_env, keras_model, pair, views):
     vox_grid = sg.get_voxel_grid_real_space(_Im)
 
     # "same+20" offsets (isotrophic_live_view_sequence_2d.get_view_from)
-    res = SPAN / (DIM - 1)
-    n_planes = DIM + 20
-    bounds = (SPAN + 20 * res) / 2
+    res = span / (dim - 1)
+    n_planes = dim + 20
+    bounds = (span + 20 * res) / 2
     offsets = np.linspace(-bounds, bounds, n_planes)
 
     fused = None
     for view in views:
-        X = np.empty((DIM, DIM, n_planes, vol.shape[-1]), np.float32)
+        X = np.empty((dim, dim, n_planes, vol.shape[-1]), np.float32)
         for i, off in enumerate(offsets):
             grid, real_axis, inv_basis = sg.sample_plane_at(
-                norm_vector=view, sample_dim=DIM, real_space_span=SPAN,
+                norm_vector=view, sample_dim=dim, real_space_span=span,
                 noise_sd=0.0, test_mode=True, offset_from_center=off)
             im, _ = ref_interp(grid)
-            X[..., i, :] = im.reshape(DIM, DIM, vol.shape[-1])
+            X[..., i, :] = im.reshape(dim, dim, vol.shape[-1])
         pred = fuse.predict_volume(keras_model, X, axis=2)
         mapped = fuse.map_real_space_pred(
             pred, (real_axis, real_axis, offsets), inv_basis, vox_grid,

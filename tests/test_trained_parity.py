@@ -1,0 +1,241 @@
+"""Independently-TRAINED Dice parity vs the real TF/Keras reference —
+the last leg of the acceptance criterion (VERDICT r3 item 2).
+
+`tests/test_keras_parity.py` gates parity of *converted weights*; this
+harness trains BOTH frameworks from their own random inits and compares
+the resulting segmentations:
+
+  * one recorded batch stream, drawn from THIS framework's multi-planar
+    sampler (the reference's data layer needs nibabel, absent in-env),
+    is fed to both in the same order — so the comparison isolates the
+    *training composition* (BN update semantics, loss reduction,
+    optimizer step, bf16/f32 policy) rather than sampler randomness;
+  * the reference trains via its own Keras compile/train_on_batch
+    (`/root/reference/mpunet/train/trainer.py:103` model.fit semantics),
+    ours via `train/train_step.py`;
+  * each side then segments the toy test set through its OWN inference
+    pipeline (reference: `predict_volume` + `map_real_space_pred`,
+    `mpunet/utils/fusion/fuse_and_predict.py:81-137`; ours: the fused
+    gather graph) with sum fusion over the same fixed views.
+
+Gate: |fused mean Dice delta| <= 0.005 — the "mean Dice within 0.5
+points of the reference" criterion — plus both sides > 0.90 absolute so
+the comparison happens at convergence, not between two underfit nets.
+
+Runtime ~15-25 min on CPU -> opt-in: MP_TRAINED_PARITY=1 python -m
+pytest tests/test_trained_parity.py -s  (or run this file as a script).
+Measured result is recorded in VALIDATION.md (round 4).
+"""
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from test_keras_parity import (  # noqa: E402
+    REFERENCE,
+    _install_reference_shims,
+    _reference_fused_predict,
+)
+
+pytestmark = [
+    pytest.mark.skipif(not os.environ.get("MP_TRAINED_PARITY"),
+                       reason="opt-in: set MP_TRAINED_PARITY=1 (~20 min)"),
+    pytest.mark.skipif(not REFERENCE.exists(),
+                       reason="reference tree not available"),
+]
+
+DIM = 64
+SPAN = float(DIM - 1)
+N_CLASSES = 4
+BATCH = 16
+# MP_TRAINED_PARITY_BATCHES overrides for smoke runs of the harness
+# mechanics (the dice gate needs the full 500 to converge both sides)
+N_BATCHES = int(os.environ.get("MP_TRAINED_PARITY_BATCHES", 500))
+LR = 1e-3
+VIEWS = np.array([[0.0, 0.0, 1.0],
+                  [0.7071067811865476, 0.7071067811865476, 0.0]])
+
+
+def _record_batches(root):
+    """Draw the shared batch stream from OUR sampler (fixed views, fixed
+    data seed; the sampler's device RNG is seeded per-process)."""
+    from multiplanarunet_tpu.bin.toy_data import create_dataset
+    from multiplanarunet_tpu.image import ImagePairLoader
+    from multiplanarunet_tpu.image.queue import EagerQueue
+    from multiplanarunet_tpu.logging import ScreenLogger
+    from multiplanarunet_tpu.sequences import get_sequence
+
+    rng = np.random.RandomState(11)
+    create_dataset(root / "train", 4, DIM, 1, rng, "train")
+    loader = ImagePairLoader(base_dir=root / "train", no_log=True)
+    loader.set_scaler_and_bg_values(bg_value="1pct",
+                                    scaler="RobustScaler",
+                                    compute_now=True)
+    queue = EagerQueue(loader, logger=ScreenLogger(False))
+    seq = get_sequence(queue, intrp_style="iso_live", views=VIEWS,
+                       dim=DIM, batch_size=BATCH, n_classes=N_CLASSES,
+                       real_space_span=SPAN, noise_sd=0.0,
+                       fg_batch_fraction=0.5, logger=ScreenLogger(False),
+                       no_log=True)
+    stream = []
+    for i in range(N_BATCHES):
+        X, y, w = seq[i]
+        stream.append((np.asarray(X, np.float32),
+                       np.asarray(y, np.int32),
+                       np.asarray(w, np.float32)))
+    return stream
+
+
+def _test_pairs(root):
+    from multiplanarunet_tpu.bin.toy_data import create_dataset
+    from multiplanarunet_tpu.image import ImagePairLoader
+
+    rng = np.random.RandomState(23)
+    create_dataset(root / "test", 4, DIM, 1, rng, "test")
+    loader = ImagePairLoader(base_dir=root / "test", no_log=True)
+    loader.set_scaler_and_bg_values(bg_value="1pct",
+                                    scaler="RobustScaler",
+                                    compute_now=True)
+    pairs = []
+    for img in loader:
+        img.load()
+        pairs.append(img)
+    return pairs
+
+
+def _train_ours(stream):
+    import jax
+
+    from multiplanarunet_tpu.models import UNet, init_model_variables
+    from multiplanarunet_tpu.train import Trainer
+
+    model = UNet(n_classes=N_CLASSES, dim=DIM, n_channels=1, depth=2,
+                 complexity_factor=1)
+    variables = init_model_variables(model, rng=jax.random.PRNGKey(5))
+    trainer = Trainer(model, variables)
+    trainer.compile_model(
+        optimizer="Adam", optimizer_kwargs={"lr": LR},
+        loss="SparseCategoricalCrossentropy",
+        metrics=["sparse_categorical_accuracy"])
+    state = trainer.state
+    for i, (X, y, w) in enumerate(stream):
+        state, logs = trainer.train_step(state, X, y, w)
+        if i % 100 == 0:
+            print(f"  ours step {i}: loss {float(logs['loss']):.4f}",
+                  flush=True)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def _train_reference(stream):
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+    _install_reference_shims()
+    import importlib
+    import types
+
+    import tensorflow as tf
+
+    tf.keras.backend.clear_session()
+    tf.random.set_seed(5)
+    unet_mod = importlib.reload(importlib.import_module(
+        "mpunet.models.unet"))
+    # The reference trains flattened: bin/train.py:252 sets
+    # fit.flatten_y=True and :288 build.flatten_output=True — Keras then
+    # broadcasts the (B,) slice weights against (B, d*d) losses (rank-3
+    # spatial losses would not broadcast).
+    model = unet_mod.UNet(n_classes=N_CLASSES, dim=DIM, n_channels=1,
+                          depth=2, complexity_factor=1,
+                          out_activation="softmax", flatten_output=True)
+    model.compile(optimizer=tf.keras.optimizers.Adam(learning_rate=LR),
+                  loss=tf.keras.losses.SparseCategoricalCrossentropy())
+    for i, (X, y, w) in enumerate(stream):
+        loss = model.train_on_batch(
+            X, np.asarray(y).reshape(len(y), -1, 1), sample_weight=w)
+        if i % 100 == 0:
+            print(f"  reference step {i}: loss {float(loss):.4f}",
+                  flush=True)
+    # Inference twin with spatial output (the flatten Reshape holds no
+    # weights): the reference's own predict path consumes (d, d, planes,
+    # n_classes) stacks. Legacy Keras mutates the subclassed model class
+    # on first build — reload + clear_session before reconstructing.
+    trained = model.get_weights()
+    tf.keras.backend.clear_session()
+    unet_mod = importlib.reload(importlib.import_module(
+        "mpunet.models.unet"))
+    model = unet_mod.UNet(n_classes=N_CLASSES, dim=DIM, n_channels=1,
+                          depth=2, complexity_factor=1,
+                          out_activation="softmax")
+    model.set_weights(trained)
+    env = types.SimpleNamespace(
+        tf=tf,
+        fuse=importlib.import_module("mpunet.utils.fusion.fuse_and_predict"),
+        sample_grid=importlib.import_module(
+            "mpunet.interpolation.sample_grid"),
+        view_interp=importlib.import_module(
+            "mpunet.interpolation.view_interpolator"),
+    )
+    return model, env
+
+
+def _our_fused_predict(model, variables, pair):
+    from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
+
+    predictor = MultiViewPredictor(
+        model, variables, sample_dim=DIM, real_space_span=SPAN,
+        n_classes=N_CLASSES, resampler="gather")
+    fused, _ = predictor.predict_image(pair, VIEWS, fusion_params=None,
+                                       n_planes="same+20",
+                                       return_per_view=False,
+                                       return_probs=True)
+    return np.asarray(fused).argmax(-1).astype(np.uint8)
+
+
+def test_independently_trained_dice_parity(tmp_path):
+    from multiplanarunet_tpu.evaluate.metrics import dice_all
+
+    print("\nrecording shared batch stream...", flush=True)
+    stream = _record_batches(tmp_path)
+    pairs = _test_pairs(tmp_path)
+
+    print("training ours...", flush=True)
+    model, variables = _train_ours(stream)
+    print("training reference (TF CPU)...", flush=True)
+    ref_model, env = _train_reference(stream)
+
+    our_dices, ref_dices = [], []
+    for pair in pairs:
+        lab = np.asarray(pair.labels).reshape(DIM, DIM, DIM)
+        ours_cls = _our_fused_predict(model, variables, pair)
+        ref_fused = _reference_fused_predict(env, ref_model, pair, VIEWS,
+                                             dim=DIM, span=SPAN)
+        ref_cls = ref_fused.argmax(-1).astype(np.uint8)
+        od = float(np.nanmean(dice_all(lab, ours_cls,
+                                       n_classes=N_CLASSES,
+                                       ignore_zero=True)))
+        rd = float(np.nanmean(dice_all(lab, ref_cls,
+                                       n_classes=N_CLASSES,
+                                       ignore_zero=True)))
+        our_dices.append(od)
+        ref_dices.append(rd)
+        print(f"  {pair.identifier}: ours {od:.4f}  reference {rd:.4f}",
+              flush=True)
+
+    ours_mean = float(np.mean(our_dices))
+    ref_mean = float(np.mean(ref_dices))
+    delta = abs(ours_mean - ref_mean)
+    print(f"fused mean dice: ours {ours_mean:.4f}  reference "
+          f"{ref_mean:.4f}  |delta| {delta:.4f}", flush=True)
+    assert ours_mean > 0.90, f"our training underfit: {ours_mean:.4f}"
+    assert ref_mean > 0.90, f"reference training underfit: {ref_mean:.4f}"
+    assert delta <= 0.005, (
+        f"trained dice parity broken: ours {ours_mean:.4f} vs reference "
+        f"{ref_mean:.4f} (|delta| {delta:.4f} > 0.005)")
+
+
+if __name__ == "__main__":
+    os.environ["MP_TRAINED_PARITY"] = "1"
+    sys.exit(pytest.main([__file__, "-x", "-s"]))
