@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from multiplanarunet_tpu.models.unet import (
-    ConvBNBlock, SubpixelUpConv, _act, crop_to_match,
+    ConvBNBlock, SubpixelUpConv, _act, crop_to_match, conv_kernel_init,
 )
 
 
@@ -72,6 +72,7 @@ class _TaskDecoder(nn.Module):
             x = ConvBNBlock(int(filters * self.cf), ks, self.activation,
                             self.dtype, name=f"decoder_L{i}")(x, train)
         x = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
+                    kernel_init=conv_kernel_init,
                     name="out_conv")(x.astype(jnp.float32))
         return _act(self.out_activation)(x)
 

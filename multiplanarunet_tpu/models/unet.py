@@ -30,6 +30,15 @@ def _act(name):
     return getattr(nn, name) if hasattr(nn, name) else getattr(jax.nn, name)
 
 
+# Kernel-init parity with the reference: Keras Conv2D/Conv3D default to
+# glorot_uniform (`/root/reference/mpunet/models/unet.py:120` uses layer
+# defaults). flax's lecun_normal default measurably slows training on
+# identical batch streams (trained-parity harness: fused Dice 0.62 vs
+# 0.90 after the same 500 batches — VALIDATION 32), so every conv kernel
+# here inits glorot_uniform. Bias stays zeros (both frameworks' default).
+conv_kernel_init = nn.initializers.glorot_uniform()
+
+
 class FusedBNAffine(nn.Module):
     """Inference-only BatchNorm with the affine precomputed per channel:
     ``a = scale * rsqrt(var + eps); b = bias - mean * a``, both cast to the
@@ -76,6 +85,7 @@ class ConvBNBlock(nn.Module):
         act = _act(self.activation)
         for i in range(2):
             x = nn.Conv(self.filters, self.kernel_size, padding="SAME",
+                        kernel_init=conv_kernel_init,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = act(x)
         if self.skip_bn and not train:
@@ -127,7 +137,7 @@ class SubpixelUpConv(nn.Module):
         n = self.ndim
         cin = x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", conv_kernel_init,
             (2,) * n + (cin, self.filters), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.filters,),
@@ -189,7 +199,7 @@ class DilatedUpConv(nn.Module):
     def __call__(self, x):
         n = self.ndim
         cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", conv_kernel_init,
                             (2,) * n + (cin, self.filters), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.filters,),
                           jnp.float32)
@@ -311,6 +321,7 @@ class UNet(nn.Module):
             else:
                 x = upsample2x(x)
                 x = nn.Conv(self._filters(filters), (2, 2), padding="SAME",
+                            kernel_init=conv_kernel_init,
                             dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
             if self.predict_skip_bn and not train:
@@ -333,6 +344,7 @@ class UNet(nn.Module):
 
         # ------------------------------------------------------------ output
         x = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
+                    kernel_init=conv_kernel_init,
                     name="out_conv")(x.astype(jnp.float32))
         out = _act(self.out_activation)(x)
         if self.flatten_output:

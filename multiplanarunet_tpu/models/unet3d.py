@@ -11,7 +11,8 @@ import numpy as np
 from flax import linen as nn
 
 from multiplanarunet_tpu.models.unet import (
-    ConvBNBlock, DilatedUpConv, SubpixelUpConv, _act, crop_to_match,
+    ConvBNBlock, DilatedUpConv, SubpixelUpConv, _act, conv_kernel_init,
+    crop_to_match,
 )
 
 
@@ -86,6 +87,7 @@ class UNet3D(nn.Module):
                     (B, D, 2, H, 2, W, 2, C),
                 ).reshape(B, D * 2, H * 2, W * 2, C)
                 x = nn.Conv(self._filters(filters), (2, 2, 2), padding="SAME",
+                            kernel_init=conv_kernel_init,
                             dtype=self.dtype, name=f"decoder_L{i}_conv_up")(x)
             x = _act(self.activation)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
@@ -98,6 +100,7 @@ class UNet3D(nn.Module):
                             self.dtype, name=f"decoder_L{i}")(x, train)
 
         x = nn.Conv(self.n_classes, (1, 1, 1), dtype=jnp.float32,
+                    kernel_init=conv_kernel_init,
                     name="out_conv")(x.astype(jnp.float32))
         out = _act(self.out_activation)(x)
         if self.flatten_output:
