@@ -68,7 +68,12 @@ def entry_func(args=None):
     )
     from multiplanarunet_tpu.utils.utils import get_best_model
 
-    logger = Logger(out_dir, active_file="predict_log",
+    from multiplanarunet_tpu.parallel import is_main_process
+
+    logger = Logger(out_dir,
+                    active_file="predict_log" if is_main_process() else
+                    f"predict_log_rank"
+                    f"{os.environ.get('MPUNET_PROCESS_ID', '')}",
                     overwrite_existing=True, no_sub_folder=True)
     hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
                           logger=logger, no_version_control=True)
@@ -136,8 +141,17 @@ def entry_func(args=None):
         **fit_kwargs,
     )
     iso_mode = fit_kwargs["intrp_style"].lower() == "iso_live_3d"
-    image_ids = sorted(loader.id_to_image)
-    results, detailed = lr.init_result_dict_3D(image_ids, n_classes)
+    all_ids = sorted(loader.id_to_image)
+    results, detailed = lr.init_result_dict_3D(all_ids, n_classes)
+    # Multi-process: images are independent work items — round-robin
+    # share per process (per-image nii dirs never collide); the main
+    # process merges per-rank partial tables at the end.
+    n_procs, proc_id = jax.process_count(), jax.process_index()
+    image_ids = all_ids
+    if n_procs > 1:
+        image_ids = all_ids[proc_id::n_procs]
+        logger(f"Multi-process predict_3D: process {proc_id + 1}/"
+               f"{n_procs} handles {len(image_ids)}/{len(all_ids)} images")
     nii_dir = os.path.join(out_dir, "nii_files")
 
     # Cohort pipeline (same shape as `mp predict`): an input IO thread
@@ -228,7 +242,41 @@ def entry_func(args=None):
         io_pool.shutdown(wait=False)
         out_pool.shutdown(wait=True)
     if not args.no_eval:
-        lr.save_all_3D(results, detailed, out_dir)
+        if n_procs > 1:
+            # Exactly-once results: non-main ranks persist their share as
+            # JSON; after a host-level barrier the main process folds the
+            # non-NaN entries in and writes the final tables alone.
+            import json
+
+            from multiplanarunet_tpu.parallel import process_barrier
+
+            if proc_id != 0:
+                part = {
+                    "results": {im: results[im] for im in image_ids},
+                    "detailed": {im: list(np.asarray(detailed[im],
+                                                     np.float64))
+                                 for im in image_ids},
+                }
+                with open(os.path.join(out_dir, f".rank{proc_id}.json"),
+                          "w") as f:
+                    json.dump(part, f)
+            process_barrier("mp-predict3d-results")
+            if proc_id == 0:
+                for r in range(1, n_procs):
+                    path = os.path.join(out_dir, f".rank{r}.json")
+                    with open(path) as f:
+                        part = json.load(f)
+                    results.update(part["results"])
+                    detailed.update(part["detailed"])
+                    os.remove(path)
+                lr.save_all_3D(results, detailed, out_dir)
+            process_barrier("mp-predict3d-done")
+        else:
+            lr.save_all_3D(results, detailed, out_dir)
+    elif n_procs > 1:
+        from multiplanarunet_tpu.parallel import process_barrier
+
+        process_barrier("mp-predict3d-done")
     logger("3D prediction complete.")
 
 

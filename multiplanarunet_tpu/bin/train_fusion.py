@@ -260,9 +260,14 @@ def entry_func(args=None):
         logger(f"Training fusion on {len(X)} voxel points (device-resident)")
         fusion_params = _fit_fusion(X, y, n_views, n_classes, args, logger,
                                     init_params=fusion_params)
-        ckpt.save_weights(fusion_out, fusion_params,
-                          meta={"round": rnd + 1, "n_views": n_views})
-        logger(f"Saved fusion weights to {fusion_out}")
+        # Multi-process: ranks compute identical fusion fits (replicated
+        # inputs); exactly one writes the shared checkpoint file
+        from multiplanarunet_tpu.parallel import is_main_process
+
+        if is_main_process():
+            ckpt.save_weights(fusion_out, fusion_params,
+                              meta={"round": rnd + 1, "n_views": n_views})
+            logger(f"Saved fusion weights to {fusion_out}")
     logger("Fusion training complete.")
     logger(f"Final fusion W:\n"
            f"{np.asarray(fusion_params['fusion']['W'])}")

@@ -41,9 +41,10 @@ from multiplanarunet_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache(os.environ.get("MP_TEST_CACHE_DIR"))
 
 entry, argv = sys.argv[1], sys.argv[2:]
-from multiplanarunet_tpu.bin import predict, train
+from multiplanarunet_tpu.bin import predict, predict_3D, train
 
-{"train": train, "predict": predict}[entry].entry_func(argv)
+{"train": train, "predict": predict,
+ "predict_3D": predict_3D}[entry].entry_func(argv)
 print("WORKER_OK")
 """
 
@@ -179,3 +180,50 @@ def test_multiprocess_predict_matches_single_process(project, tmp_path):
     assert len(nii_dirs) == len(set(nii_dirs)) == 2
     for d in (out / "nii_files").iterdir():
         assert (d / "PRED.nii.gz").exists()
+
+
+def test_multiprocess_predict_3d_merges_once(tmp_path_factory, tmp_path):
+    """Two `mp predict_3D` processes split the cohort and the main process
+    writes the merged 3D results tables exactly once."""
+    from multiplanarunet_tpu.bin import init_project, toy_data, train
+
+    ws = tmp_path_factory.mktemp("dist_3d")
+    toy_data.entry_func([
+        "--out_dir", str(ws / "data"), "--N_train", "2", "--N_val", "1",
+        "--N_test", "2", "--image_size", "32", "--seed", "2",
+    ])
+    init_project.entry_func([
+        "--name", "proj", "--root", str(ws),
+        "--data_dir", str(ws / "data"), "--model", "3D",
+    ])
+    proj = ws / "proj"
+    hp = proj / "train_hparams.yaml"
+    text = hp.read_text()
+    text = text.replace("complexity_factor: 2", "complexity_factor: 0.25")
+    text = text.replace("depth: 4", "depth: 2")
+    text = text.replace("mixed_precision: True", "mixed_precision: False")
+    text = text.replace("dim: 64", "dim: 16")
+    hp.write_text(text)
+    cwd = os.getcwd()
+    try:
+        train.entry_func([
+            "--project_dir", str(proj), "--overwrite", "--no_images",
+            "--epochs", "1", "--train_images_per_epoch", "2",
+            "--val_images_per_epoch", "1",
+        ])
+    finally:
+        os.chdir(cwd)
+
+    _launch_group(tmp_path, "predict_3D", [
+        "--project_dir", str(proj), "--out_dir", str(proj / "pred3d"),
+        "--overwrite",
+    ])
+    out = proj / "pred3d"
+    assert not list(out.glob(".rank*.json"))
+    res = pd.read_csv(out / "csv" / "results.csv", index_col=0)
+    vals = res.loc["dice"] if "dice" in res.index else res
+    assert np.isfinite(np.asarray(vals, float)).all()
+    nii = sorted(p.name for p in (out / "nii_files").iterdir())
+    assert len(nii) == len(set(nii)) == 2
+    logs = {p.name for p in out.glob("predict_log*")}
+    assert any("rank1" in n for n in logs), logs
