@@ -31,6 +31,8 @@ import numpy as np
 from multiplanarunet_tpu.logging import ScreenLogger
 from multiplanarunet_tpu.ops import geometry
 from multiplanarunet_tpu.ops.interp import (
+    grid_gather_pool,
+    plane_points,
     sample_plane,
     sample_plane_batch,
     sample_plane_batch_pool,
@@ -184,6 +186,101 @@ def _finish_batch_fused_walk(volumes, slots, origins, spacings, rots,
         apply_mask, bg, span, dim, crop, flatten_y, with_elastic)
 
 
+@partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
+                                   "with_elastic", "fg_classes",
+                                   "n_fg_slices", "force_all_fg"))
+def _finish_batch_lazy_walk(volumes, labels, slots, origins, spacings, rots,
+                            bases_all, offsets_all, fills, bg_classes,
+                            valid_shapes, labs0, pres0, key, alphas, sigmas,
+                            apply_mask, bg, span, dim, crop, flatten_y,
+                            with_elastic, fg_classes, n_fg_slices,
+                            force_all_fg):
+    """Fused finish with LAZY candidate gathers: the quota walk scans rows
+    in batch order and gathers candidate t's label plane (one lax.cond'd
+    nearest gather of d^2 points from the label pool) only when candidates
+    0..t-1 were all rejected — the exact per-try cost of the reference's
+    sequential retry loop (`mpunet/sequences/
+    isotrophic_live_view_sequence_2d.py` get_N_random_slices_from), where
+    the two-phase path gathers all K-1 deeper candidates up front for
+    every possibly-rejected row. With force_all_fg on, "possibly
+    rejected" is nearly every row (a first candidate only provably
+    accepts when it contains EVERY fg class), so the up-front gather is
+    the single largest sampler kernel on a hardware trace (16.8 ms/batch
+    at B=16/d=128 vs a 83 ms train step); typical walks accept at
+    candidate 0 or 1, so this path gathers ~B planes instead of B*(K-1).
+
+    Accept-rule semantics are `_walk_select`'s (itself pinned to the host
+    `select_candidate` oracle); end-to-end bit-parity with the sequential
+    path is pinned by test_fused_finish_matches_sequential."""
+    B, K = bases_all.shape[0], bases_all.shape[1]
+    fg_idx = jnp.asarray(np.asarray(fg_classes, np.int32))
+
+    def gather_plane(slot, origin, spacing, rot, basis, offset, bgc, valid):
+        pts = plane_points(basis, offset, span, dim,
+                           dtype=jnp.asarray(origin).dtype) @ rot.T
+        labs = grid_gather_pool(labels, slot, origin, spacing, pts,
+                                method="nearest", fill=bgc,
+                                valid_shape=valid)[..., 0]
+        return labs.astype(jnp.int32)
+
+    def row(carry, inp):
+        vec, count = carry
+        (b, slot, origin, spacing, rot, bases, offsets, bgc, valid,
+         labs0_row, pres0_row) = inp
+        slots_left = B - b
+        accepted = jnp.zeros((), bool)
+        chosen = jnp.zeros((), jnp.int32)
+        chosen_c = jnp.take(pres0_row, fg_idx)
+        chosen_labs = labs0_row
+        for t in range(K):
+            if t == 0:
+                labs_t = labs0_row
+                c = jnp.take(pres0_row, fg_idx)
+            else:
+                labs_t = jax.lax.cond(
+                    accepted,
+                    lambda: jnp.zeros((dim, dim), jnp.int32),
+                    lambda t=t: gather_plane(slot, origin, spacing, rot,
+                                             bases[t], offsets[t], bgc,
+                                             valid))
+                c = jnp.any(labs_t[None] == fg_idx[:, None, None],
+                            axis=(1, 2))
+            if force_all_fg and t < K - 1:
+                new_mask = vec | c
+                unfillable = jnp.logical_and(
+                    ~jnp.all(new_mask),
+                    jnp.sum(~new_mask) >= slots_left)
+            else:
+                unfillable = jnp.zeros((), bool)
+            has_fg = jnp.any(c)
+            quota_ok = (n_fg_slices - count) < slots_left
+            accept = jnp.logical_or(
+                jnp.logical_and(~unfillable,
+                                jnp.logical_or(has_fg, quota_ok)),
+                t == K - 1)
+            take = jnp.logical_and(accept, ~accepted)
+            chosen = jnp.where(take, jnp.int32(t), chosen)
+            chosen_c = jnp.where(take, c, chosen_c)
+            chosen_labs = jnp.where(take, labs_t, chosen_labs)
+            accepted = jnp.logical_or(accepted, accept)
+        if force_all_fg:
+            vec = jnp.where(chosen != K - 1, vec | chosen_c, vec)
+        count = count + jnp.any(chosen_c).astype(jnp.int32)
+        return (vec, count), (chosen, chosen_labs)
+
+    init = (jnp.zeros((len(fg_classes),), bool), jnp.zeros((), jnp.int32))
+    _, (chosen, labs_sel) = jax.lax.scan(
+        row, init,
+        (jnp.arange(B, dtype=jnp.int32), slots, origins, spacings, rots,
+         bases_all, offsets_all, bg_classes, valid_shapes, labs0, pres0))
+    bidx = jnp.arange(B)
+    return _finish_batch_fused(
+        volumes, slots, origins, spacings, rots, bases_all[bidx, chosen],
+        offsets_all[bidx, chosen], fills, valid_shapes, labs_sel,
+        jnp.zeros((0, dim, dim), jnp.int32), bidx, key, alphas, sigmas,
+        apply_mask, bg, span, dim, crop, flatten_y, with_elastic)
+
+
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
 def _candidate_label_slices(labels_vol, origin, spacing, rot, bases, offsets,
                             span, dim, bg_class, n_classes, valid_shape):
@@ -277,6 +374,29 @@ class IsotrophicLiveViewSequence(BaseSequence):
             if accept:
                 return t, has_fg_vec, has_fg_count + fg_change
         return K - 1, has_fg_vec, has_fg_count  # pragma: no cover
+
+    def _draw_finish_aug_params(self, augs, B, batch_w):
+        """Draw the fused finish's elastic-augmentation batch params (or
+        cached constants when no augmenter — the kernel ignores them under
+        a static with_elastic=False, and caching avoids per-batch eager
+        PRNGKey ops / dummy host->device RPCs on remote transports)."""
+        if augs:
+            key, alphas, sigmas, apply_mask = augs[0].draw_batch_params(B)
+            batch_w = batch_w.copy()
+            batch_w[apply_mask] = augs[0].weight
+            return (key, np.asarray(alphas, np.float32),
+                    np.asarray(sigmas, np.float32), np.asarray(apply_mask),
+                    batch_w)
+        cached = getattr(self, "_noaug_finish_params", None)
+        if cached is None or int(cached[1].shape[0]) != B:
+            cached = self._noaug_finish_params = (
+                jax.random.PRNGKey(0),
+                jnp.zeros(B, jnp.float32),
+                jnp.zeros(B, jnp.float32),
+                jnp.zeros(B, bool),
+            )
+        key, alphas, sigmas, apply_mask = cached
+        return key, alphas, sigmas, apply_mask, batch_w
 
     # ------------------------------------------------------- batch assembly
     def augment(self, batch_x, batch_y, batch_w, bg_values):
@@ -435,20 +555,59 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
 
     def _finish_pooled_batch(self, st):
         """Resolve the quota walk and produce the batch for a started
-        state. Two-phase candidate fetch: the accept rules
+        state. Default (fusable augmenters): the LAZY-gather walk — one
+        program that gathers each deeper candidate only when the walk
+        reaches it (`_finish_batch_lazy_walk`), no host sync at all.
+        MP_SAMPLER_LAZY=0 restores the two-phase fetch: the accept rules
         (`_accepts_candidate`) PROVABLY accept any first candidate that
         contains every fg class (under force_all_fg) / any fg (without),
         regardless of the sequential quota state — so only rows whose
-        first candidate misses that bar ever consult candidates 1..K-1.
-        That cuts the candidate gather volume 2-10x vs sampling all B*K
-        up front, while reproducing the reference retry statistics
-        exactly; the depth-0 presence fetch itself was dispatched one
-        batch ago (lookahead in `_getitem_pooled`), so its device->host
-        round-trip is already paid."""
+        first candidate misses that bar ever consult candidates 1..K-1,
+        cutting the up-front candidate gather 2-10x vs sampling all B*K,
+        while reproducing the reference retry statistics exactly; the
+        depth-0 presence fetch itself was dispatched one batch ago
+        (lookahead in `_getitem_pooled`), so its device->host round-trip
+        is already paid."""
         B, K, span = st["B"], st["K"], st["span"]
         pool_volumes, labs0 = st["volumes"], st["labs0"]
         slots, params = st["slots"], st["params"]
         bases, offsets = st["bases"], st["offsets"]
+        batch_w = np.asarray(st["weights"], np.float32)
+
+        augs = self.list_of_augmenters or []
+        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
+                   and len(augs) <= 1
+                   and not getattr(self, "disable_fused_finish", False))
+        if fusable:
+            key, alphas, sigmas, apply_mask, batch_w = \
+                self._draw_finish_aug_params(augs, B, batch_w)
+            d = self.sample_dim
+            if os.environ.get("MP_SAMPLER_LAZY", "1") != "0":
+                # Lazy-gather walk: NO presence fetch, NO phase-2 dispatch
+                # — one program does walk + per-try gathers + finish
+                # (candidate gathers shrink from B*(K-1) planes to the
+                # reference's actual retry count, see
+                # _finish_batch_lazy_walk).
+                batch_x, batch_y = _finish_batch_lazy_walk(
+                    pool_volumes, st["labels"], jnp.asarray(slots),
+                    jnp.asarray(params["origins"]),
+                    jnp.asarray(params["spacings"]),
+                    jnp.asarray(params["rots"]),
+                    jnp.asarray(bases), jnp.asarray(offsets),
+                    jnp.asarray(params["fills"]),
+                    jnp.asarray(params["bg_classes"])[:, None],
+                    jnp.asarray(params["valid_shapes"]),
+                    labs0, st["pres0"], key, alphas, sigmas, apply_mask,
+                    np.asarray(params["fills"], np.float32),
+                    span, d,
+                    tuple(tuple(int(c) for c in pair)
+                          for pair in self.label_crop),
+                    bool(self.flatten_y), bool(len(augs)),
+                    tuple(int(c) for c in self.fg_classes),
+                    int(self.n_fg_slices), bool(self.force_all_fg),
+                )
+                return batch_x, batch_y, batch_w
+
         pres0 = np.asarray(st["pres0"])
         fg = pres0[:, self.fg_classes]
         maybe_rejected = ~fg.all(1) if self.force_all_fg else ~fg.any(1)
@@ -468,40 +627,12 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                 bases[S_pad, 1:].reshape(-1, 3, 3),
                 offsets[S_pad, 1:].reshape(-1), span)
             s_pos[S] = np.arange(len(S))
-        batch_w = np.asarray(st["weights"], np.float32)
 
-        augs = self.list_of_augmenters or []
-        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
-                   and len(augs) <= 1
-                   and not getattr(self, "disable_fused_finish", False))
         if fusable:
-            # One-dispatch finish with the accept walk IN-GRAPH: the
+            # Two-phase fused finish (MP_SAMPLER_LAZY=0 A/B arm): the
             # phase-2 presence is consumed on device, so the batch needs
-            # NO blocking host sync at all (the depth-0 presence fetch
-            # rode the lookahead; everything below is async dispatch).
-            if augs:
-                key, alphas, sigmas, apply_mask = \
-                    augs[0].draw_batch_params(B)
-                batch_w = batch_w.copy()
-                batch_w[apply_mask] = augs[0].weight
-                alphas = np.asarray(alphas, np.float32)
-                sigmas = np.asarray(sigmas, np.float32)
-                apply_mask = np.asarray(apply_mask)
-            else:
-                # No augmenter: the kernel ignores these (with_elastic is a
-                # static False) — cache the constant key/zeros ONCE so the
-                # per-batch path pays no eager PRNGKey op or dummy host->
-                # device transfers (each is an RPC on remote transports).
-                cached = getattr(self, "_noaug_finish_params", None)
-                if cached is None or int(cached[1].shape[0]) != B:
-                    cached = self._noaug_finish_params = (
-                        jax.random.PRNGKey(0),
-                        jnp.zeros(B, jnp.float32),
-                        jnp.zeros(B, jnp.float32),
-                        jnp.zeros(B, bool),
-                    )
-                key, alphas, sigmas, apply_mask = cached
-            d = self.sample_dim
+            # NO blocking host sync beyond the depth-0 presence fetch
+            # (which rode the lookahead).
             rest = (labs_rest if labs_rest is not None
                     else np.zeros((0, d, d), np.int32))
             p_rest = (pres_rest_dev if pres_rest_dev is not None

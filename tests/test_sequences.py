@@ -244,12 +244,14 @@ def test_pooled_lookahead_depth(toy_queue):
     assert len(seq._pending_batches) == 3
 
 
-def test_fused_finish_matches_sequential(toy_queue):
-    """The one-dispatch fused finish kernel must produce near-identical
-    batches to the sequential gather/select/augment/prepare path given the
-    same host randomness (same np seed + augmenter seeds)."""
+def test_fused_finish_matches_sequential(toy_queue, monkeypatch):
+    """Both one-dispatch fused finish kernels (lazy-gather walk and the
+    two-phase MP_SAMPLER_LAZY=0 arm) must produce near-identical batches
+    to the sequential gather/select/augment/prepare path given the same
+    host randomness (same np seed + augmenter seeds)."""
 
-    def draw(augment, disable_fused):
+    def draw(augment, disable_fused, lazy="1"):
+        monkeypatch.setenv("MP_SAMPLER_LAZY", lazy)
         seq = _make_seq(toy_queue, fg_batch_fraction=1.0, augmenters=(
             [{"cls_name": "Elastic2D",
               "kwargs": {"alpha": [0, 100], "sigma": [10, 12],
@@ -260,14 +262,15 @@ def test_fused_finish_matches_sequential(toy_queue):
         return seq[0]
 
     for augment in (False, True):
-        Xf, yf, wf = draw(augment, disable_fused=False)
         Xs, ys, ws = draw(augment, disable_fused=True)
-        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xs),
-                                   atol=1e-6, rtol=0)
-        np.testing.assert_allclose(
-            np.asarray(yf).astype(np.float32).reshape(-1),
-            np.asarray(ys).astype(np.float32).reshape(-1), atol=1e-6)
-        np.testing.assert_allclose(wf, ws, atol=0)
+        for lazy in ("1", "0"):
+            Xf, yf, wf = draw(augment, disable_fused=False, lazy=lazy)
+            np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xs),
+                                       atol=1e-6, rtol=0)
+            np.testing.assert_allclose(
+                np.asarray(yf).astype(np.float32).reshape(-1),
+                np.asarray(ys).astype(np.float32).reshape(-1), atol=1e-6)
+            np.testing.assert_allclose(wf, ws, atol=0)
 
 
 def test_pooled_discards_stale_batch_sizes_after_backoff(toy_queue):
