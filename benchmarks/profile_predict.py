@@ -207,6 +207,11 @@ def main():
         n_views = int(sys.argv[sys.argv.index("--views") + 1])
     log_dir = os.environ.get("MP_PROFILE_DIR", "/tmp/mp_profile")
     if "--parse-only" not in sys.argv:
+        # clear stale xplanes: the parser aggregates EVERY trace in the
+        # dir, so a leftover run silently contaminates the op table
+        import shutil
+
+        shutil.rmtree(log_dir, ignore_errors=True)
         run_traced_predict(size, n_views, log_dir)
     parse_xplanes(log_dir)
 

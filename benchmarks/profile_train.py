@@ -96,6 +96,11 @@ def main():
           f"({batch * steps / dt:.1f} img/s)", flush=True)
 
     log_dir = os.environ.get("MP_PROFILE_DIR", "/tmp/mp_train_profile")
+    # clear stale xplanes: the parser aggregates EVERY trace in the dir,
+    # so a leftover run silently contaminates the op table
+    import shutil
+
+    shutil.rmtree(log_dir, ignore_errors=True)
     print("tracing...", flush=True)
     with jax.profiler.trace(log_dir):
         for i in range(steps):

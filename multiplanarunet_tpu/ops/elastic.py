@@ -63,26 +63,32 @@ def smooth_field(field, sigma, radius):
 
 
 def _bilinear_gather_2d(img, px, py, fill):
-    """img (H, W, C) sampled at pixel coords px/py (H, W) with bounds fill."""
+    """img (H, W, C) sampled at pixel coords px/py (H, W) with bounds fill.
+
+    The 4 bilinear corners of each cell are pre-packed into one row so the
+    warp is a SINGLE gather (TPU gathers cost per-GATHER, not per-byte —
+    a hardware trace showed the 4-gather form as 4 of the 5 largest
+    sampler kernels at 2.7 ms each, batch 16 / dim 128). The pack itself
+    is 4 shifted copies of a small in-VMEM plane — pure bandwidth."""
     H, W, C = img.shape
     oob = (px < 0) | (px > H - 1) | (py < 0) | (py > W - 1)
     x0 = jnp.clip(jnp.floor(px), 0, H - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(py), 0, W - 2).astype(jnp.int32)
     fx = px - x0
     fy = py - y0
-    flat = img.reshape(-1, C)
-
-    def g(ix, iy):
-        return jnp.take(flat, (ix * W + iy).reshape(-1), axis=0).reshape(
-            ix.shape + (C,)
-        )
-
-    out = (
-        g(x0, y0) * ((1 - fx) * (1 - fy))[..., None]
-        + g(x0, y0 + 1) * ((1 - fx) * fy)[..., None]
-        + g(x0 + 1, y0) * (fx * (1 - fy))[..., None]
-        + g(x0 + 1, y0 + 1) * (fx * fy)[..., None]
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    packed = jnp.stack(
+        [p[:H, :W], p[:H, 1:W + 1], p[1:H + 1, :W], p[1:H + 1, 1:W + 1]],
+        axis=2,
+    )  # (H, W, 4, C)
+    rows = jnp.take(packed.reshape(-1, 4 * C),
+                    (x0 * W + y0).reshape(-1), axis=0).reshape(
+        x0.shape + (4, C))
+    w = jnp.stack(
+        [(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy],
+        axis=-1,
     )
+    out = jnp.sum(rows * w[..., None], axis=-2)
     return jnp.where(oob[..., None], fill, out)
 
 
@@ -158,8 +164,15 @@ def elastic_deform_3d_batch(key, images, labels, alphas, sigmas, apply_mask,
         pts = jnp.stack(
             [b + dsp for b, dsp in zip(base, disp)], axis=-1
         )  # (d, d, d, 3)
-        im_out = grid_gather(img, jnp.zeros(3), jnp.ones(3), pts,
-                             method="linear", fill=bg)
+        # corner-packed trilinear: ONE gather instead of eight (per-gather
+        # cost dominates on TPU; the packed box is a small transient)
+        from multiplanarunet_tpu.ops.interp import (
+            grid_gather_packed,
+            pack_corners,
+        )
+
+        im_out = grid_gather_packed(pack_corners(img), jnp.zeros(3),
+                                    jnp.ones(3), pts, fill=bg)
         lab_out = grid_gather(lab[..., None].astype(jnp.float32),
                               jnp.zeros(3), jnp.ones(3), pts,
                               method="nearest", fill=0.0)[..., 0]

@@ -23,7 +23,7 @@ class DeviceVolumePool:
     """Fixed-capacity pool of staged (scaled) volumes + label volumes."""
 
     def __init__(self, shape, n_channels, capacity, with_labels=True,
-                 dtype=np.float32):
+                 dtype=np.float32, pack_volumes=None):
         import jax.numpy as jnp
 
         self.shape = tuple(int(s) for s in shape)  # common padded (X, Y, Z)
@@ -32,6 +32,29 @@ class DeviceVolumePool:
         self.with_labels = with_labels
         self._volumes = jnp.zeros(
             (self.capacity,) + self.shape + (self.n_channels,), dtype
+        )
+        # Corner-packed twin of `volumes` (see ops.interp.pack_corners):
+        # trilinear plane extraction becomes ONE gather instead of eight
+        # at 8x the volume HBM. Measured OFF-BY-DEFAULT negative result
+        # on the v5e (2026-08-19): a multi-dim packed pool argument gets a
+        # whole-pool relayout inside every consuming program (~20 ms/step
+        # at 524 MB — more than the ~12 ms the gather saves), and the
+        # relayout-proof FLAT form's lax.gather of 8-element rows lowers
+        # to a slow path (~430 ms/batch vs 15 ms for 8 take-gathers).
+        # MP_POOL_PACK=1 re-enables for future toolchains.
+        if pack_volumes is None:
+            import os
+
+            pack_volumes = os.environ.get("MP_POOL_PACK", "0") == "1"
+        self.pack_volumes = bool(pack_volumes)
+        # FLAT packed pool: a multi-dim packed argument gets a whole-pool
+        # relayout inside EVERY consuming program (measured 35-40 ms/step
+        # at 524 MB); 1-D has exactly one layout. See
+        # ops.interp.grid_gather_pool_packed.
+        self._packed = (
+            jnp.zeros(self.capacity * int(np.prod(self.shape)) * 8
+                      * self.n_channels, dtype)
+            if self.pack_volumes else None
         )
         self._labels = (
             jnp.zeros((self.capacity,) + self.shape + (1,), jnp.float32)
@@ -89,6 +112,16 @@ class DeviceVolumePool:
         sampler = image.interpolator
         vol = self._pad_to_shape(sampler.scaled_volume)
         self._volumes = self._volumes.at[slot].set(vol)
+        if self.pack_volumes:
+            import jax
+            import jax.numpy as jnp
+
+            from multiplanarunet_tpu.ops.interp import pack_corners
+
+            packed_vol = pack_corners(jnp.asarray(vol)).reshape(-1)
+            self._packed = jax.lax.dynamic_update_slice(
+                self._packed, packed_vol,
+                (slot * packed_vol.shape[0],))
         if self.with_labels and sampler.labels is not None:
             lab = self._pad_to_shape(
                 sampler.labels[..., None].astype(np.float32)
@@ -115,6 +148,17 @@ class DeviceVolumePool:
     @property
     def volumes(self):
         return self._volumes
+
+    @property
+    def packed(self):
+        """FLAT corner-packed volumes ((N * X*Y*Z * 8 * C,)) or None."""
+        return self._packed
+
+    @property
+    def grid_shape(self):
+        """(X, Y, Z, C) of one pool slot — static arg of the packed
+        gather kernels."""
+        return self.shape + (self.n_channels,)
 
     @property
     def labels(self):

@@ -130,6 +130,8 @@ class IsotrophicLiveViewSequence3D(IsotrophicLiveViewSequence):
             IsotrophicLiveViewSequence2D,
         )
 
+        # box extraction has no packed-gather path: never pay 8x HBM
+        self._pool_pack = False
         pool = IsotrophicLiveViewSequence2D._get_pool(self)
         B, K = self.batch_size, MAX_TRIES
         slots, weights = [], []

@@ -36,6 +36,7 @@ from multiplanarunet_tpu.ops.interp import (
     sample_plane,
     sample_plane_batch,
     sample_plane_batch_pool,
+    sample_plane_batch_pool_packed,
     sample_plane_stack,
 )
 from multiplanarunet_tpu.sequences.base_sequence import BaseSequence
@@ -60,21 +61,32 @@ def _pool_candidate_labels(label_pool, slots, origins, spacings, rots, bases,
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
-                                   "with_elastic"))
+                                   "with_elastic", "packed"))
 def _finish_batch_fused(volumes, slots, origins, spacings, rots, bases,
                         offsets, fills, valid_shapes, labs0, labs_rest,
                         sel_idx, key, alphas, sigmas, apply_mask, bg,
-                        span, dim, crop, flatten_y, with_elastic):
+                        span, dim, crop, flatten_y, with_elastic,
+                        packed=None):
     """The whole batch-finish device pipeline as ONE jitted program: image
     plane gather + chosen-label select + (optional) elastic deformation +
     label crop/reshape. The nested jitted kernels trace inline (the
     megagraph pattern of `MultiViewPredictor`), so a high-latency dispatch
     transport pays ONE program launch where the sequential path paid ~5
-    (gather, eager concat, eager index, elastic, eager reshape)."""
-    X = sample_plane_batch_pool(
-        volumes, slots, origins, spacings, rots, bases, offsets, span,
-        dim, fills, valid_shapes=valid_shapes,
-    )
+    (gather, eager concat, eager index, elastic, eager reshape).
+
+    `packed` is None (unpacked pool) or the static (X, Y, Z, C) grid
+    shape of a FLAT corner-packed pool (`DeviceVolumePool.pack_volumes`):
+    the trilinear image extraction is then ONE gather instead of eight."""
+    if packed:
+        X = sample_plane_batch_pool_packed(
+            volumes, packed, slots, origins, spacings, rots, bases,
+            offsets, span, dim, fills, valid_shapes=valid_shapes,
+        )
+    else:
+        X = sample_plane_batch_pool(
+            volumes, slots, origins, spacings, rots, bases, offsets, span,
+            dim, fills, valid_shapes=valid_shapes,
+        )
     y = jnp.concatenate([labs0, labs_rest], 0)[sel_idx]
     if with_elastic:
         from multiplanarunet_tpu.ops.elastic import elastic_deform_2d_batch
@@ -156,13 +168,15 @@ def _walk_select(pres0, pres_rest, s_pos, fg_classes, n_fg_slices,
 
 @partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
                                    "with_elastic", "fg_classes",
-                                   "n_fg_slices", "force_all_fg"))
+                                   "n_fg_slices", "force_all_fg",
+                                   "packed"))
 def _finish_batch_fused_walk(volumes, slots, origins, spacings, rots,
                              bases_all, offsets_all, fills, valid_shapes,
                              labs0, labs_rest, pres0, pres_rest, s_pos,
                              key, alphas, sigmas, apply_mask, bg,
                              span, dim, crop, flatten_y, with_elastic,
-                             fg_classes, n_fg_slices, force_all_fg):
+                             fg_classes, n_fg_slices, force_all_fg,
+                             packed=None):
     """Fused finish with the candidate walk IN-GRAPH: select -> image
     gather -> label select -> elastic -> prep as one program, consuming
     the phase-2 presence on device (no host fetch). `pres_rest` arrives
@@ -183,18 +197,20 @@ def _finish_batch_fused_walk(volumes, slots, origins, spacings, rots,
     return _finish_batch_fused(
         volumes, slots, origins, spacings, rots, bases, offsets, fills,
         valid_shapes, labs0, labs_rest, sel_idx, key, alphas, sigmas,
-        apply_mask, bg, span, dim, crop, flatten_y, with_elastic)
+        apply_mask, bg, span, dim, crop, flatten_y, with_elastic,
+        packed=packed)
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
                                    "with_elastic", "fg_classes",
-                                   "n_fg_slices", "force_all_fg"))
+                                   "n_fg_slices", "force_all_fg",
+                                   "packed"))
 def _finish_batch_lazy_walk(volumes, labels, slots, origins, spacings, rots,
                             bases_all, offsets_all, fills, bg_classes,
                             valid_shapes, labs0, pres0, key, alphas, sigmas,
                             apply_mask, bg, span, dim, crop, flatten_y,
                             with_elastic, fg_classes, n_fg_slices,
-                            force_all_fg):
+                            force_all_fg, packed=None):
     """Fused finish with LAZY candidate gathers: the quota walk scans rows
     in batch order and gathers candidate t's label plane (one lax.cond'd
     nearest gather of d^2 points from the label pool) only when candidates
@@ -278,7 +294,8 @@ def _finish_batch_lazy_walk(volumes, labels, slots, origins, spacings, rots,
         volumes, slots, origins, spacings, rots, bases_all[bidx, chosen],
         offsets_all[bidx, chosen], fills, valid_shapes, labs_sel,
         jnp.zeros((0, dim, dim), jnp.int32), bidx, key, alphas, sigmas,
-        apply_mask, bg, span, dim, crop, flatten_y, with_elastic)
+        apply_mask, bg, span, dim, crop, flatten_y, with_elastic,
+        packed=packed)
 
 
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
@@ -504,6 +521,7 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
             self._pool = DeviceVolumePool(
                 shape, dataset.images[0].n_channels, capacity,
                 with_labels=True,
+                pack_volumes=getattr(self, "_pool_pack", None),
             )
         return self._pool
 
@@ -539,16 +557,17 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         slots = np.asarray(slots, np.int32)
 
         view_idx = np.random.randint(0, len(self.views), B * K)
-        bases = np.stack([
-            geometry.plane_basis(self.views[v], noise_sd=self.noise_sd)
-            for v in view_idx
-        ]).astype(np.float32).reshape(B, K, 3, 3)
+        bases = geometry.plane_basis_batch(
+            self.views[view_idx], noise_sd=self.noise_sd
+        ).reshape(B, K, 3, 3)
         offsets = np.random.uniform(-half, half, B * K).astype(
             np.float32).reshape(B, K)
         params = pool.params_for(slots)
         labs0, pres0 = self._dispatch_candidates(
             pool.labels, slots, params, bases[:, 0], offsets[:, 0], span)
-        return dict(volumes=pool.volumes, labels=pool.labels, slots=slots,
+        return dict(volumes=pool.volumes, packed=pool.packed,
+                    grid_shape=pool.grid_shape,
+                    labels=pool.labels, slots=slots,
                     params=params, weights=weights, bases=bases,
                     offsets=offsets, labs0=labs0, pres0=pres0, span=span,
                     B=B, K=K)
@@ -570,6 +589,10 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         is already paid."""
         B, K, span = st["B"], st["K"], st["span"]
         pool_volumes, labs0 = st["volumes"], st["labs0"]
+        packed = None
+        if st.get("packed") is not None:
+            pool_volumes = st["packed"]
+            packed = st["grid_shape"]
         slots, params = st["slots"], st["params"]
         bases, offsets = st["bases"], st["offsets"]
         batch_w = np.asarray(st["weights"], np.float32)
@@ -605,6 +628,7 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                     bool(self.flatten_y), bool(len(augs)),
                     tuple(int(c) for c in self.fg_classes),
                     int(self.n_fg_slices), bool(self.force_all_fg),
+                    packed=packed,
                 )
                 return batch_x, batch_y, batch_w
 
@@ -657,6 +681,7 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                 bool(self.flatten_y), bool(len(augs)),
                 tuple(int(c) for c in self.fg_classes),
                 int(self.n_fg_slices), bool(self.force_all_fg),
+                packed=packed,
             )
             return batch_x, batch_y, batch_w
 
@@ -697,8 +722,11 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
                 from0, np.arange(B),
                 len(labs0) + s_pos * (K - 1) + (chosen_t - 1))
 
-        batch_x = sample_plane_batch_pool(
-            pool_volumes, jnp.asarray(slots),
+        plane_fn = (partial(sample_plane_batch_pool_packed,
+                            pool_volumes, packed) if packed
+                    else partial(sample_plane_batch_pool, pool_volumes))
+        batch_x = plane_fn(
+            jnp.asarray(slots),
             jnp.asarray(params["origins"]),
             jnp.asarray(params["spacings"]),
             jnp.asarray(params["rots"]),
@@ -724,10 +752,8 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         half = span // 2
 
         view_idx = np.random.randint(0, len(self.views), MAX_TRIES)
-        bases = np.stack([
-            geometry.plane_basis(self.views[v], noise_sd=self.noise_sd)
-            for v in view_idx
-        ])
+        bases = geometry.plane_basis_batch(self.views[view_idx],
+                                           noise_sd=self.noise_sd)
         offsets = np.random.uniform(-half, half, MAX_TRIES).astype(np.float32)
 
         labs, presence = _candidate_label_slices(

@@ -299,3 +299,66 @@ def test_pool_gather_matches_direct():
                 valid_shape=jnp.asarray(np.array([8, 8, 8], np.int32)),
             ))
             np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pool_packed_gather_matches_linear():
+    """grid_gather_pool_packed (one-gather trilinear over a FLAT
+    corner-packed pool) == grid_gather_pool(method='linear') for every
+    slot, including out-of-bounds fill and a valid_shape smaller than
+    the padded pool."""
+    rng = np.random.RandomState(13)
+    vols = [make_volume(rng, shape=(8, 8, 8), C=2) for _ in range(3)]
+    pool = jnp.asarray(np.stack(vols))
+    packed = jnp.concatenate(
+        [interp.pack_corners(jnp.asarray(v)).reshape(-1) for v in vols])
+    spacing = np.array([1.0, 0.5, 2.0], np.float32)
+    origin = -np.array([3.5, 1.75, 7.0], np.float32)
+    pts = (rng.rand(200, 3) * 10 - 5).astype(np.float32)
+    fill = np.array([5.0, -2.0], np.float32)
+    for slot in range(3):
+        for valid in (np.array([8, 8, 8], np.int32),
+                      np.array([8, 6, 7], np.int32)):
+            want = np.asarray(interp.grid_gather_pool(
+                pool, jnp.asarray(slot), origin, spacing, pts,
+                method="linear", fill=fill, valid_shape=jnp.asarray(valid),
+            ))
+            got = np.asarray(interp.grid_gather_pool_packed(
+                packed, (8, 8, 8, 2), jnp.asarray(slot), origin, spacing,
+                pts, fill=fill, valid_shape=jnp.asarray(valid),
+            ))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_plane_basis_batch_matches_scalar():
+    """plane_basis_batch == N sequential plane_basis calls — including
+    the rng stream (a normal(size=(N,3)) draw equals N row-major
+    normal(size=3) draws on the legacy generator), the pointing-up
+    abs() branch and the degenerate straight-up branch."""
+    rng = np.random.RandomState(7)
+    views = np.concatenate([
+        rng.rand(40, 3) * 2 - 1,
+        [[0.0, 0.0, 1.0]],          # degenerate: straight up
+        [[0.05, -0.9, 0.1]],        # signed < 0.2 branch
+    ])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+
+    # no-noise arm (f32-ULP tolerance: float64 op ORDER differs between
+    # the einsum/batched-norm forms and the scalar dot/cross chain)
+    want = np.stack([geometry.plane_basis(v, noise_sd=0.0) for v in views])
+    got = geometry.plane_basis_batch(views, noise_sd=0.0)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+    # noisy arm: same pre-drawn noise rows through both forms
+    noise = np.random.RandomState(8).normal(scale=0.1, size=views.shape)
+    want = np.stack([
+        geometry.plane_basis(v, noise_sd=noise[i])
+        for i, v in enumerate(views)
+    ])
+    got = geometry.plane_basis_batch(views, noise_sd=noise)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+    # stream equivalence: one batched normal draw == sequential draws
+    r1, r2 = np.random.RandomState(9), np.random.RandomState(9)
+    batch = r1.normal(scale=0.1, size=(5, 3))
+    seq = np.stack([r2.normal(scale=0.1, size=3) for _ in range(5)])
+    np.testing.assert_array_equal(batch, seq)
