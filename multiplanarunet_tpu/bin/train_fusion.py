@@ -47,6 +47,10 @@ def get_argparser():
                              "weights")
     parser.add_argument("--eval_prob", type=float, default=1.0)
     parser.add_argument("--wait_for", type=str, default="")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="Seed the host RNG driving the fusion fit's "
+                             "shuffles (reproducible fits; also what makes "
+                             "the 2-process run bit-equal to 1-process)")
     return parser
 
 
@@ -172,8 +176,21 @@ def entry_func(args=None):
     from multiplanarunet_tpu.utils.fusion import MultiViewPredictor
     from multiplanarunet_tpu.utils.utils import get_best_model
 
-    logger = Logger(project_dir, active_file="train_fusion",
-                    overwrite_existing=True)
+    # Join the process group BEFORE the logger (per-rank log files) and
+    # before the first JAX computation (model_initializer below
+    # initializes the backend, after which jax.distributed refuses to
+    # start).
+    from multiplanarunet_tpu.parallel import (
+        is_main_process,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+    logger = Logger(
+        project_dir,
+        active_file="train_fusion" if is_main_process()
+        else f"train_fusion_rank{os.environ.get('MPUNET_PROCESS_ID', '')}",
+        overwrite_existing=True)
     hparams = YAMLHParams(Path(project_dir) / "train_hparams.yaml",
                           logger=logger, no_version_control=True)
     views = np.load(Path(project_dir) / "views.npz")["arr_0"]
@@ -188,13 +205,6 @@ def entry_func(args=None):
     if fusion_out.exists() and not (args.overwrite or args.continue_training):
         raise RuntimeError(f"{fusion_out} exists; pass --overwrite or "
                            f"--continue_training")
-
-    # Multi-host: join the process group BEFORE the first JAX computation
-    # (no-op single-process; model_initializer below initializes the
-    # backend, after which jax.distributed refuses to start)
-    from multiplanarunet_tpu.parallel import maybe_initialize_distributed
-
-    maybe_initialize_distributed(logger=logger)
 
     # Unet with best weights
     model, variables, *_ = model_initializer(hparams=hparams, logger=logger)
@@ -237,14 +247,35 @@ def entry_func(args=None):
     import jax
     import jax.numpy as jnp
 
+    from multiplanarunet_tpu.parallel import is_main_process, process_barrier
+
+    if args.seed is not None:
+        np.random.seed(args.seed)
+    n_procs, proc_id = jax.process_count(), jax.process_index()
+    points_tmp = fusion_dir / ".points_tmp"
+    if n_procs > 1:  # every rank: no barrier precedes the first savez
+        points_tmp.mkdir(parents=True, exist_ok=True)
+
     n_rounds = -(-len(images) // args.images_per_round)
     for rnd in range(n_rounds):
         batch = images[rnd * args.images_per_round:
                        (rnd + 1) * args.images_per_round]
         logger(f"\n=== Fusion round {rnd + 1}/{n_rounds} "
                f"({len(batch)} images) ===")
+        # Multi-process: the expensive per-view predict stage is cohort-
+        # split round-robin across ranks (reference replicates it,
+        # `mpunet/bin/train_fusion.py:111-216`); each image's points are
+        # DETERMINISTIC given (rnd, i) — the subsample key is
+        # PRNGKey(rnd*1000+i) — so ownership does not change values.
+        # Ranks exchange points via the shared project dir (the same
+        # single-writer filesystem contract as `mp predict_3D`'s results
+        # merge), rank 0 fits on the full set in image order — bit-equal
+        # to the 1-process fit — and writes the checkpoint; other ranks
+        # reload it so --continue/init state stays lockstep.
         points_coll, targets_coll = [], []
         for i, image in enumerate(batch):
+            if i % n_procs != proc_id:
+                continue
             with image.loaded_in_context():
                 logger(f"Mapping views over {image.identifier}...")
                 pts, tgt = predictor.predict_views_points(
@@ -252,22 +283,41 @@ def entry_func(args=None):
                     max_points=args.max_points_per_image or None,
                     key=jax.random.PRNGKey(rnd * 1000 + i),
                 )
-                points_coll.append(pts)
-                targets_coll.append(tgt)
-        X = jnp.concatenate(points_coll, axis=0)
-        y = jnp.concatenate(targets_coll, axis=0)
-        del points_coll, targets_coll
-        logger(f"Training fusion on {len(X)} voxel points (device-resident)")
-        fusion_params = _fit_fusion(X, y, n_views, n_classes, args, logger,
-                                    init_params=fusion_params)
-        # Multi-process: ranks compute identical fusion fits (replicated
-        # inputs); exactly one writes the shared checkpoint file
-        from multiplanarunet_tpu.parallel import is_main_process
-
+                if n_procs > 1:
+                    np.savez(points_tmp / f"r{rnd}_i{i:04d}.npz",
+                             pts=np.asarray(pts, np.float32),
+                             tgt=np.asarray(tgt, np.int32))
+                else:
+                    points_coll.append(pts)
+                    targets_coll.append(tgt)
+        if n_procs > 1:
+            process_barrier(f"mp-fusion-r{rnd}-points")
+            if is_main_process():
+                for i in range(len(batch)):
+                    with np.load(points_tmp / f"r{rnd}_i{i:04d}.npz") as f:
+                        points_coll.append(jnp.asarray(f["pts"]))
+                        targets_coll.append(jnp.asarray(f["tgt"]))
         if is_main_process():
+            X = jnp.concatenate(points_coll, axis=0)
+            y = jnp.concatenate(targets_coll, axis=0)
+            del points_coll, targets_coll
+            logger(f"Training fusion on {len(X)} voxel points "
+                   f"(device-resident)")
+            fusion_params = _fit_fusion(X, y, n_views, n_classes, args,
+                                        logger, init_params=fusion_params)
             ckpt.save_weights(fusion_out, fusion_params,
                               meta={"round": rnd + 1, "n_views": n_views})
             logger(f"Saved fusion weights to {fusion_out}")
+        if n_procs > 1:
+            process_barrier(f"mp-fusion-r{rnd}-fit")
+            if not is_main_process():
+                fusion_params, _, _ = ckpt.load_weights(fusion_out)
+    if n_procs > 1:
+        process_barrier("mp-fusion-done")
+        if is_main_process():
+            import shutil
+
+            shutil.rmtree(points_tmp, ignore_errors=True)
     logger("Fusion training complete.")
     logger(f"Final fusion W:\n"
            f"{np.asarray(fusion_params['fusion']['W'])}")

@@ -41,10 +41,10 @@ from multiplanarunet_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache(os.environ.get("MP_TEST_CACHE_DIR"))
 
 entry, argv = sys.argv[1], sys.argv[2:]
-from multiplanarunet_tpu.bin import predict, predict_3D, train
+from multiplanarunet_tpu.bin import predict, predict_3D, train, train_fusion
 
-{"train": train, "predict": predict,
- "predict_3D": predict_3D}[entry].entry_func(argv)
+{"train": train, "predict": predict, "predict_3D": predict_3D,
+ "train_fusion": train_fusion}[entry].entry_func(argv)
 print("WORKER_OK")
 """
 
@@ -180,6 +180,46 @@ def test_multiprocess_predict_matches_single_process(project, tmp_path):
     assert len(nii_dirs) == len(set(nii_dirs)) == 2
     for d in (out / "nii_files").iterdir():
         assert (d / "PRED.nii.gz").exists()
+
+
+def test_multiprocess_train_fusion_matches_single_process(project, tmp_path):
+    """Two `mp train_fusion` processes cohort-split the per-view predict
+    stage, rank 0 fits on the full point set and writes ONE fusion
+    checkpoint bit-equal to a single-process run with the same seed."""
+    import shutil
+
+    from multiplanarunet_tpu.bin import train_fusion
+    from multiplanarunet_tpu.models import checkpoint as ckpt
+
+    fusion_args = [
+        "--project_dir", str(project), "--overwrite",
+        "--images_per_round", "2", "--min_val_images", "2",
+        "--epochs", "3", "--early_stopping", "3",
+        "--n_planes", "same", "--seed", "42",
+    ]
+    cwd = os.getcwd()
+    try:
+        train_fusion.entry_func(fusion_args)
+    finally:
+        os.chdir(cwd)
+    fusion_dir = project / "model" / "fusion_weights"
+    out = next(fusion_dir.glob("*_fusion_weights.npz"))
+    sp_copy = tmp_path / "sp_fusion.npz"
+    shutil.copy(out, sp_copy)
+    out.unlink()
+
+    _launch_group(tmp_path, "train_fusion", fusion_args)
+
+    mp_files = list(fusion_dir.glob("*_fusion_weights.npz"))
+    assert len(mp_files) == 1  # single-writer checkpoint
+    assert not (fusion_dir / ".points_tmp").exists()  # tmp exchange cleaned
+    sp_params, _, _ = ckpt.load_weights(sp_copy)
+    mp_params, _, _ = ckpt.load_weights(mp_files[0])
+    np.testing.assert_allclose(
+        np.asarray(mp_params["fusion"]["W"]),
+        np.asarray(sp_params["fusion"]["W"]), rtol=0, atol=1e-6)
+    logs = {p.name for p in (project / "logs").glob("train_fusion*")}
+    assert any("rank1" in n for n in logs), logs
 
 
 def test_multiprocess_predict_3d_merges_once(tmp_path_factory, tmp_path):
