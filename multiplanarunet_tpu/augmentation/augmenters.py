@@ -49,15 +49,29 @@ class Elastic(Augmenter):
         self._key = jax.random.PRNGKey(
             seed if seed is not None else self._rng.randint(2 ** 31)
         )
+        self._count = 0
 
     def _draw(self, value, n):
         if isinstance(value, (list, tuple)):
             return self._rng.uniform(value[0], value[1], size=n)
         return np.full(n, float(value))
 
+    def _next_count(self):
+        """Per-batch key counter: batch key = fold_in(base_key, count) —
+        derivable IN-GRAPH from (base_key, count), so the packed sampler
+        path pays no eager per-batch split/fold RPC on remote transports."""
+        self._count += 1
+        return self._count
+
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        return jax.random.fold_in(self._key, self._next_count())
+
+    @property
+    def base_key(self):
+        """The fixed base PRNG key; pair with `draw_batch_params_host`'s
+        count via jax.random.fold_in (eagerly or in-graph) to reproduce
+        `draw_batch_params`' key stream exactly."""
+        return self._key
 
     def draw_batch_params(self, batch_size):
         """Draw one batch's host-side randomness: (key, alphas, sigmas,
@@ -67,6 +81,16 @@ class Elastic(Augmenter):
         alphas = self._draw(self._alpha, batch_size)
         sigmas = self._draw(self._sigma, batch_size)
         return self._next_key(), alphas, sigmas, apply_mask
+
+    def draw_batch_params_host(self, batch_size):
+        """`draw_batch_params` without the eager key derivation: returns
+        (count, alphas, sigmas, apply_mask); the consumer derives
+        fold_in(self.base_key, count) in-graph (same stream, zero host
+        device ops)."""
+        apply_mask = self._rng.rand(batch_size) <= self.apply_prob
+        alphas = self._draw(self._alpha, batch_size)
+        sigmas = self._draw(self._sigma, batch_size)
+        return self._next_count(), alphas, sigmas, apply_mask
 
     def __call__(self, batch_x, batch_y, batch_w=None, bg_values=None):
         """Deform (B, ...) image/label arrays; returns jnp arrays.

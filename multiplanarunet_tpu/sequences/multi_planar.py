@@ -298,6 +298,83 @@ def _finish_batch_lazy_walk(volumes, labels, slots, origins, spacings, rots,
         packed=packed)
 
 
+def _blob_layout(n_channels, K):
+    """Column map of the packed per-batch parameter blob: every per-sample
+    host param of one training batch (slot, pool geometry, candidate plane
+    bases/offsets, elastic-aug draw, key counter) as ONE (B, F) float32
+    array, shipped in ONE host->device transfer. On the remote-dispatch
+    tunnel each `jnp.asarray` of a numpy param is its own transfer RPC
+    (~17/batch before packing) and host RPC time — not device time — is
+    the training e2e bottleneck (VALIDATION 32's probe attribution)."""
+    cols, off = {}, 0
+    for name, width in (("slot", 1), ("origin", 3), ("spacing", 3),
+                        ("rot", 9), ("fill", n_channels), ("bg_class", 1),
+                        ("valid", 3), ("bases", 9 * K), ("offsets", K),
+                        ("alpha", 1), ("sigma", 1), ("apply", 1),
+                        ("count", 1)):
+        cols[name] = (off, off + width)
+        off += width
+    return cols, off
+
+
+def _split_blob(blob, n_channels, K):
+    """In-graph inverse of the `_blob_layout` host packing (free slices
+    under XLA). int-valued columns round-trip exactly through f32 (slots
+    < pool capacity, shapes <= volume dims, counts < 2^24)."""
+    cols, _ = _blob_layout(n_channels, K)
+    g = lambda n: blob[:, cols[n][0]:cols[n][1]]  # noqa: E731
+    return dict(
+        slots=g("slot")[:, 0].astype(jnp.int32),
+        origins=g("origin"),
+        spacings=g("spacing"),
+        rots=g("rot").reshape(-1, 3, 3),
+        fills=g("fill"),
+        bg_classes=g("bg_class")[:, 0],
+        valid=g("valid").astype(jnp.int32),
+        bases=g("bases").reshape(-1, K, 3, 3),
+        offsets=g("offsets"),
+        alphas=g("alpha")[:, 0],
+        sigmas=g("sigma")[:, 0],
+        apply=g("apply")[:, 0] > 0.5,
+        count=blob[0, cols["count"][0]].astype(jnp.int32),
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("span", "dim", "n_classes", "n_channels", "K"))
+def _pool_candidate_labels_blob(label_pool, blob, span, dim, n_classes,
+                                n_channels, K):
+    """`_pool_candidate_labels` for depth-0 candidates only, with all
+    per-sample params sliced from the packed blob (one transfer)."""
+    s = _split_blob(blob, n_channels, K)
+    return _pool_candidate_labels(
+        label_pool, s["slots"], s["origins"], s["spacings"], s["rots"],
+        s["bases"][:, 0], s["offsets"][:, 0], span, dim, s["bg_classes"],
+        n_classes, s["valid"])
+
+
+@partial(jax.jit, static_argnames=("span", "dim", "crop", "flatten_y",
+                                   "with_elastic", "fg_classes",
+                                   "n_fg_slices", "force_all_fg",
+                                   "n_channels", "K", "packed"))
+def _finish_batch_lazy_blob(volumes, labels, blob, labs0, pres0, key0,
+                            span, dim, crop, flatten_y, with_elastic,
+                            fg_classes, n_fg_slices, force_all_fg,
+                            n_channels, K, packed=None):
+    """`_finish_batch_lazy_walk` with params sliced from the packed blob
+    and the elastic key derived IN-GRAPH (fold_in(base_key, batch count) —
+    the same stream `Elastic.draw_batch_params` yields eagerly), so one
+    training batch costs ONE transfer + two kernel dispatches total."""
+    s = _split_blob(blob, n_channels, K)
+    key = jax.random.fold_in(key0, s["count"])
+    return _finish_batch_lazy_walk(
+        volumes, labels, s["slots"], s["origins"], s["spacings"], s["rots"],
+        s["bases"], s["offsets"], s["fills"], s["bg_classes"][:, None],
+        s["valid"], labs0, pres0, key, s["alphas"], s["sigmas"], s["apply"],
+        s["fills"], span, dim, crop, flatten_y, with_elastic,
+        fg_classes, n_fg_slices, force_all_fg, packed=packed)
+
+
 @partial(jax.jit, static_argnames=("span", "dim", "n_classes"))
 def _candidate_label_slices(labels_vol, origin, spacing, rot, bases, offsets,
                             span, dim, bg_class, n_classes, valid_shape):
@@ -538,12 +615,27 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
             jnp.asarray(params["valid_shapes"]),
         )
 
+    def _fusable_finish(self):
+        """True when the finish can run as one fused device program (no
+        augmenters, or a single Elastic2D whose params fold into it)."""
+        augs = self.list_of_augmenters or []
+        return (all(type(a).__name__ == "Elastic2D" for a in augs)
+                and len(augs) <= 1
+                and not getattr(self, "disable_fused_finish", False)
+                and os.environ.get("MP_SAMPLER_FUSED", "1") != "0")
+
     def _start_pooled_batch(self):
         """Draw one batch's randomness, stage its images and DISPATCH its
         depth-0 candidate kernel, without any host sync. Everything the
         finish step needs is CAPTURED here (the pool's functional jnp
         arrays + per-row host params), so later pool evictions cannot
-        corrupt an in-flight batch."""
+        corrupt an in-flight batch.
+
+        Default (lazy fused finish, MP_SAMPLER_PACKED != 0): every host
+        param — including the elastic-aug draw, moved here from finish —
+        packs into ONE blob transfer (`_blob_layout`); the whole batch
+        then costs 1 transfer + 2 dispatches. MP_SAMPLER_PACKED=0 is the
+        per-array-transfer A/B arm."""
         pool = self._get_pool()
         B, K = self.batch_size, MAX_TRIES
         span = float(self.real_space_span)
@@ -563,6 +655,54 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         offsets = np.random.uniform(-half, half, B * K).astype(
             np.float32).reshape(B, K)
         params = pool.params_for(slots)
+
+        packed_mode = (self._fusable_finish()
+                       and os.environ.get("MP_SAMPLER_LAZY", "1") != "0"
+                       and os.environ.get("MP_SAMPLER_PACKED", "1") != "0")
+        if packed_mode:
+            augs = self.list_of_augmenters or []
+            batch_w = np.asarray(weights, np.float32)
+            count = 0
+            alphas = sigmas = apply_mask = 0.0
+            if augs:
+                count, alphas, sigmas, apply_mask = \
+                    augs[0].draw_batch_params_host(B)
+                batch_w = batch_w.copy()
+                batch_w[apply_mask] = augs[0].weight
+                key0 = augs[0].base_key
+            else:
+                key0 = getattr(self, "_noaug_key0", None)
+                if key0 is None:
+                    key0 = self._noaug_key0 = jax.random.PRNGKey(0)
+            C = pool.n_channels
+            cols, width = _blob_layout(C, K)
+            blob = np.empty((B, width), np.float32)
+            for name, val in (
+                    ("slot", slots[:, None]),
+                    ("origin", params["origins"]),
+                    ("spacing", params["spacings"]),
+                    ("rot", params["rots"].reshape(B, 9)),
+                    ("fill", params["fills"]),
+                    ("bg_class", np.asarray(params["bg_classes"])[:, None]),
+                    ("valid", params["valid_shapes"]),
+                    ("bases", bases.reshape(B, 9 * K)),
+                    ("offsets", offsets),
+                    ("alpha", alphas), ("sigma", sigmas),
+                    ("apply", apply_mask), ("count", count)):
+                lo, hi = cols[name]
+                blob[:, lo:hi] = np.reshape(val, (-1, hi - lo)) \
+                    if np.ndim(val) else val
+            blob = jnp.asarray(blob)
+            labs0, pres0 = _pool_candidate_labels_blob(
+                pool.labels, blob, span, self.sample_dim, self.n_classes,
+                C, K)
+            return dict(volumes=pool.volumes, packed=pool.packed,
+                        grid_shape=pool.grid_shape, labels=pool.labels,
+                        slots=slots, weights=batch_w, blob=blob, key0=key0,
+                        with_elastic=bool(augs), n_channels=C,
+                        labs0=labs0, pres0=pres0, span=span, B=B, K=K,
+                        mode="lazy-blob")
+
         labs0, pres0 = self._dispatch_candidates(
             pool.labels, slots, params, bases[:, 0], offsets[:, 0], span)
         return dict(volumes=pool.volumes, packed=pool.packed,
@@ -593,14 +733,25 @@ class IsotrophicLiveViewSequence2D(IsotrophicLiveViewSequence):
         if st.get("packed") is not None:
             pool_volumes = st["packed"]
             packed = st["grid_shape"]
+        if st.get("mode") == "lazy-blob":
+            # Packed-blob lazy finish: ONE dispatch, zero transfers (the
+            # blob shipped at start; aug params + weights already drawn).
+            batch_x, batch_y = _finish_batch_lazy_blob(
+                pool_volumes, st["labels"], st["blob"], labs0, st["pres0"],
+                st["key0"], span, self.sample_dim,
+                tuple(tuple(int(c) for c in pair)
+                      for pair in self.label_crop),
+                bool(self.flatten_y), st["with_elastic"],
+                tuple(int(c) for c in self.fg_classes),
+                int(self.n_fg_slices), bool(self.force_all_fg),
+                st["n_channels"], K, packed=packed)
+            return batch_x, batch_y, st["weights"]
         slots, params = st["slots"], st["params"]
         bases, offsets = st["bases"], st["offsets"]
         batch_w = np.asarray(st["weights"], np.float32)
 
         augs = self.list_of_augmenters or []
-        fusable = (all(type(a).__name__ == "Elastic2D" for a in augs)
-                   and len(augs) <= 1
-                   and not getattr(self, "disable_fused_finish", False))
+        fusable = self._fusable_finish()
         if fusable:
             key, alphas, sigmas, apply_mask, batch_w = \
                 self._draw_finish_aug_params(augs, B, batch_w)

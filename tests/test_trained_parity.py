@@ -25,7 +25,7 @@ so the comparison happens at convergence. The original 4-train-image /
 500-step regime measured SEED-DOMINATED outcomes in both directions
 (seed 5: ours 0.924 vs ref 0.818; seed 2: ours 0.713 vs ref 0.885 —
 both nets memorize 4 images and generalization is init luck), hence the
-12-image / 600-step default; see VALIDATION 33 for the seed table.
+12-image / 600-step default; see VALIDATION 34 for the seed table.
 MP_TRAINED_PARITY_SEED / _TRAIN_N / _BATCHES parameterize repeats.
 
 Runtime ~15-25 min on CPU -> opt-in: MP_TRAINED_PARITY=1 python -m
