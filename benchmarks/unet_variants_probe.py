@@ -67,6 +67,13 @@ def main():
         ("fused_bn", {"predict_fused_bn": True}),
         ("dilated", {"dilated_upconv": True}),
         ("both", {"predict_fused_bn": True, "dilated_upconv": True}),
+        # lane-friendly channel padding (VERDICT r4 item 3): filters
+        # 90/181/362/724/1448 -> multiples of 128/8; exact zero-pad
+        # embedding of the same weights (models/unet.lane_pad_variables)
+        ("both+pad128", {"predict_fused_bn": True, "dilated_upconv": True,
+                         "lane_pad": 128}),
+        ("both+pad8", {"predict_fused_bn": True, "dilated_upconv": True,
+                       "lane_pad": 8}),
         ("skip_bn(floor)", {"predict_skip_bn": True}),
     ]
 
@@ -81,16 +88,22 @@ def main():
 
     ref_chunk = None
     t_base = None
+    from multiplanarunet_tpu.models.unet import lane_pad_variables
+
     for name, flags in variants:
         model = base.copy(**flags) if flags else base
         fn = make_fn(model)
-        out = fn(variables, chunks)
+        vs = (jax.tree.map(jnp.asarray,
+                           lane_pad_variables(base, variables,
+                                              flags["lane_pad"]))
+              if flags.get("lane_pad") else variables)
+        out = fn(vs, chunks)
         _ = float(jnp.sum(out[0, 0, 0, 0]))  # compile+run sync
         best = float("inf")
         times = []
         for _ in range(reps):
             t0 = time.time()
-            out = fn(variables, chunks)
+            out = fn(vs, chunks)
             _ = float(jnp.sum(out[0, 0, 0, 0]))
             dt = time.time() - t0
             times.append(dt)

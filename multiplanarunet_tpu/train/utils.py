@@ -71,6 +71,14 @@ def init_optimizer(optimizer_name, logger=None, **kwargs):
         elif logger is not None:
             logger(f"[OBS] optimizer kwarg '{k}' not supported by optax "
                    f"{optimizer_name}; ignored")
+    # Keras-named optimizers get Keras' epsilon default (1e-7) rather
+    # than optax's (1e-8) unless the config specifies one: the reference
+    # trains with tf.keras optimizers (`mpunet/train/utils.py`
+    # init_optimizer), and epsilon sets Adam's small-gradient deadzone —
+    # a real (if small) training-dynamics difference on same-stream runs.
+    if (optimizer_name in ("Adam", "Nadam", "Adamax", "RMSprop")
+            and "eps" in accepted and "eps" not in translated):
+        translated["eps"] = 1e-7
     if logger:
         logger(f"Optimizer: optax.{fn.__name__}({translated})")
     return optax.inject_hyperparams(fn)(**translated)

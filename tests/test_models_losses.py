@@ -365,3 +365,24 @@ def test_dilated_upconv_3d_matches_naive():
         np.asarray(UNet3D(n_classes=4, dim=16, n_channels=2, depth=2,
                           init_filters=4).apply(v3, x3, train=False)),
         atol=1e-5)
+
+
+def test_lane_pad_variables_exact():
+    """Lane-padded inference model (filters rounded up to a multiple,
+    zero-pad weight embedding incl. the decoder-concat row split) is
+    numerically exact vs the unpadded model on the same weights."""
+    from multiplanarunet_tpu.models.unet import lane_pad_variables
+
+    # cf=2 makes every level lane-hostile (int(8*sqrt(2))=11, 22, 45)
+    model = UNet(n_classes=5, dim=32, n_channels=2, depth=2,
+                 complexity_factor=2, init_filters=8)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, 32, 2)), train=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 2))
+    y0 = np.asarray(model.apply(v, x, train=False))
+    for M_, flags in ((16, {}), (8, {"predict_fused_bn": True,
+                                     "dilated_upconv": True})):
+        pm = model.copy(lane_pad=M_, **flags)
+        pv = lane_pad_variables(model, v, M_)
+        y = np.asarray(pm.apply(pv, x, train=False))
+        np.testing.assert_allclose(y, y0, atol=2e-5)
