@@ -13,7 +13,13 @@ with a bootstrap 95% CI — the statistic that bounds the resampler /
 staging quality cost.
 
 Usage: python benchmarks/quality_cohort.py [workdir] [--skip_train]
+           [--n_test N] [--image_size S]
 The project is left on disk so re-runs with --skip_train only re-predict.
+Round-5 standing config (VERDICT r4 item 9): --n_test 40 --image_size 192
+— the MSD Hippocampus/Liver-class workloads named in BASELINE.md are not
+obtainable in this environment (zero egress), so this heterogeneous
+40-subject 192^3 2-channel anisotropic cohort is the pinned quality
+proxy (VALIDATION 36).
 """
 import subprocess
 import sys
@@ -40,15 +46,24 @@ def fused_dice(pred_dir):
 
 
 def main():
-    work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/quality_cohort")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    work = Path(args[0] if args else "/tmp/quality_cohort")
     skip_train = "--skip_train" in sys.argv
+
+    def opt(name, default):
+        return (sys.argv[sys.argv.index(name) + 1]
+                if name in sys.argv else default)
+
+    n_test = int(opt("--n_test", 20))
+    image_size = int(opt("--image_size", 128))
     work.mkdir(parents=True, exist_ok=True)
     data = work / "data"
     proj = work / "proj"
 
     if not skip_train:
         run(MP + ["toy_data", "--out_dir", data, "--N_train", 12, "--N_val",
-                  3, "--N_test", 20, "--image_size", 128, "--N_channels", 2,
+                  3, "--N_test", n_test, "--image_size", image_size,
+                  "--N_channels", 2,
                   "--pixdim", "1,0.8,1.3", "--vary_size", "--seed", 7])
         run(MP + ["init_project", "--name", "proj", "--root", work,
                   "--data_dir", data, "--overwrite"])
