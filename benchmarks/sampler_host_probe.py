@@ -14,6 +14,7 @@ Usage: python benchmarks/sampler_host_probe.py [batch] [dim] [n]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -60,9 +61,10 @@ def main():
         batch_size=batch, n_classes=4, real_space_span=140.0,
         noise_sd=0.1, is_validation=False, logger=ScreenLogger(False),
         no_log=True,
-        augmenters=[{"cls_name": "Elastic2D",
-                     "kwargs": {"alpha": [0, 450], "sigma": [20, 30],
-                                "apply_prob": 0.333}}],
+        augmenters=None if os.environ.get("MP_PROBE_NOAUG") else [
+            {"cls_name": "Elastic2D",
+             "kwargs": {"alpha": [0, 450], "sigma": [20, 30],
+                        "apply_prob": 0.333}}],
     )
     seq.batch_size = batch
     print(f"device: {jax.devices()[0]} | batch={batch} dim={dim} n={n}",
