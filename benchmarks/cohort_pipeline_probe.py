@@ -15,6 +15,8 @@ transport's bad windows (a wedged transfer RPC can stall a mode for tens
 of minutes).
 """
 import sys
+
+sys.path.insert(0, ".")
 import tempfile
 import time
 from concurrent.futures import ThreadPoolExecutor

@@ -11,6 +11,8 @@ Usage: python benchmarks/perf_probe.py [A|B|C ...] [--size 256]
 from __future__ import annotations
 
 import sys
+
+sys.path.insert(0, ".")
 import time
 
 import numpy as np

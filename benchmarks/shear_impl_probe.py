@@ -4,6 +4,8 @@ on the live device at bench-like shapes (256^3 remap + plane-stack plans).
 Usage: python benchmarks/shear_impl_probe.py [size]
 """
 import sys
+
+sys.path.insert(0, ".")
 import time
 
 import numpy as np

@@ -20,6 +20,8 @@ Usage: python benchmarks/train_batch_scale.py [workdir]
 import re
 import subprocess
 import sys
+
+sys.path.insert(0, ".")
 import time
 from pathlib import Path
 

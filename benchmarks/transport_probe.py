@@ -16,6 +16,8 @@ non-overlappable transfer).
 Usage: python benchmarks/transport_probe.py [n_reps]
 """
 import sys
+
+sys.path.insert(0, ".")
 import time
 
 import numpy as np

@@ -10,6 +10,8 @@ Usage: python benchmarks/unet_chunk_probe.py [dim] [chunk ...]
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import numpy as np
 
 
