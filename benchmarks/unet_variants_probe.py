@@ -74,6 +74,12 @@ def main():
                          "lane_pad": 128}),
         ("both+pad8", {"predict_fused_bn": True, "dilated_upconv": True,
                        "lane_pad": 8}),
+        # out-conv padded to 8 classes (dummy logit -1e9 -> softmax
+        # identical over the real 7; sliced after softmax) — probes the
+        # pathological {1,4,3,2,0} out-conv fusion layout VALIDATION 30
+        # traced at 4.4 ms/call
+        ("both+out8", {"predict_fused_bn": True, "dilated_upconv": True,
+                       "_out8": True}),
         ("skip_bn(floor)", {"predict_skip_bn": True}),
     ]
 
@@ -90,13 +96,42 @@ def main():
     t_base = None
     from multiplanarunet_tpu.models.unet import lane_pad_variables
 
+    def make_fn_out8(model8):
+        def fwd(variables, chunks):
+            def body(_, xs):
+                out = model8.apply(variables, xs, train=False)
+                return None, out[..., :n_classes].astype(jnp.bfloat16)
+            _, probs = jax.lax.scan(body, None, chunks)
+            return probs
+        return jax.jit(fwd)
+
+    def out8_setup():
+        import flax
+        model8 = base.copy(n_classes=n_classes + 1,
+                           predict_fused_bn=True, dilated_upconv=True)
+        flat = flax.traverse_util.flatten_dict(
+            flax.core.unfreeze(jax.tree.map(np.asarray, variables)))
+        k = ("params", "out_conv", "kernel")
+        b = ("params", "out_conv", "bias")
+        flat[k] = np.concatenate(
+            [flat[k], np.zeros(flat[k].shape[:-1] + (1,), flat[k].dtype)],
+            axis=-1)
+        flat[b] = np.concatenate(
+            [flat[b], np.full((1,), -1e9, flat[b].dtype)])
+        vs8 = jax.tree.map(jnp.asarray,
+                           flax.traverse_util.unflatten_dict(flat))
+        return make_fn_out8(model8), vs8
+
     for name, flags in variants:
-        model = base.copy(**flags) if flags else base
-        fn = make_fn(model)
-        vs = (jax.tree.map(jnp.asarray,
-                           lane_pad_variables(base, variables,
-                                              flags["lane_pad"]))
-              if flags.get("lane_pad") else variables)
+        if flags.pop("_out8", False):
+            fn, vs = out8_setup()
+        else:
+            model = base.copy(**flags) if flags else base
+            fn = make_fn(model)
+            vs = (jax.tree.map(jnp.asarray,
+                               lane_pad_variables(base, variables,
+                                                  flags["lane_pad"]))
+                  if flags.get("lane_pad") else variables)
         out = fn(vs, chunks)
         _ = float(jnp.sum(out[0, 0, 0, 0]))  # compile+run sync
         best = float("inf")

@@ -205,6 +205,32 @@ class MultiViewPredictor:
                 f"divisible by {2 ** depth} (the Auditor picks 16-divisible "
                 f"dims automatically)."
             )
+        # Lane-pad-8 inference channels: filters rounded up to multiples
+        # of 8 with the exact zero-pad weight embedding
+        # (models/unet.lane_pad_variables — identical logits, pinned by
+        # test). Measured ~1.4% faster per view at 256^2/cf=2 on the
+        # v5e across two independent probe runs (pad128 LOSES to its
+        # extra MACs — VALIDATION 35); a no-op ladder (cf=1 powers of
+        # two) skips the copy so jit caches are unaffected.
+        # MP_PREDICT_LANE_PAD=0 disables, or set another multiple.
+        pad = int(os.environ.get("MP_PREDICT_LANE_PAD", "8") or 0)
+        if (pad and type(model).__name__ == "UNet"
+                and getattr(model, "lane_pad", 0) == 0
+                and isinstance(variables, dict)
+                and {"params", "batch_stats"} <= set(variables)):
+            ladder = [int(model.init_filters * 2 ** i * model.cf)
+                      for i in range(model.depth + 1)]
+            if any(f % pad for f in ladder):
+                from multiplanarunet_tpu.models.unet import (
+                    lane_pad_variables,
+                )
+                import jax as _jax
+                import jax.numpy as _jnp
+
+                variables = self.variables = _jax.tree.map(
+                    _jnp.asarray,
+                    lane_pad_variables(model, variables, pad))
+                model = self.model = model.copy(lane_pad=pad)
         # Plane batch per U-Net scan step. With chunk=None the batch adapts
         # to each stack's plane count so no padded planes run through the
         # U-Net (P_pad = steps * 2ceil(P / 2steps)). Measured end-to-end on
